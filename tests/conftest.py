@@ -1,0 +1,40 @@
+"""Test config: hermetic CPU runs with a virtual 8-device mesh.
+
+Mirrors the test strategy SURVEY.md §4 prescribes (the reference has no
+tests): pure-kernel unit tests vs numpy oracles + multi-device tests via
+``--xla_force_host_platform_device_count`` — no TPU pod needed.
+
+Must run before anything imports jax, hence the env mutation at module import.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from rgbd_recon_tpu.utils.math import Bbox  # noqa: E402
+from rgbd_recon_tpu.calibration import synthetic  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_rig():
+    """2-sensor rig with small volumes + analytic sphere scene frames."""
+    bbox = Bbox.default()
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=2, bbox=bbox, fwd_res=(48, 64, 48), inv_res=(48, 48, 48),
+        width=128, height=106,
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    return dict(rig=rig, cams=cams, scene=scene, depth=depth, color=color, bbox=bbox)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
