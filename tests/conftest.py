@@ -8,12 +8,18 @@ Must run before anything imports jax, hence the env mutation at module import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# A sitecustomize may have force-registered a remote TPU backend and set
+# jax_platforms via config (which overrides env vars) — override it back so
+# tests are hermetic and run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -26,9 +32,12 @@ from rgbd_recon_tpu.calibration import synthetic  # noqa: E402
 def small_rig():
     """2-sensor rig with small volumes + analytic sphere scene frames."""
     bbox = Bbox.default()
+    # resolution matters: the reference's validity thresholds (lateral > 0.65,
+    # pre_boundary.fs:27) are tuned for Kinect-v2 pixel density; at very low
+    # res the per-pixel depth gradient trips them on smooth surfaces
     rig, cams = synthetic.synthetic_rig(
-        num_sensors=2, bbox=bbox, fwd_res=(48, 64, 48), inv_res=(48, 48, 48),
-        width=128, height=106,
+        num_sensors=3, bbox=bbox, fwd_res=(48, 64, 48), inv_res=(48, 48, 48),
+        width=256, height=212,
     )
     scene = synthetic.SphereScene.default(bbox)
     depth, color = synthetic.render_frames(cams, scene)

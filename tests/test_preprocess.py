@@ -1,0 +1,113 @@
+"""Preprocessing stage invariants on the analytic sphere scene."""
+import numpy as np
+import jax.numpy as jnp
+
+from rgbd_recon_tpu.ops import preprocess as pp
+
+
+def test_morph_dilate_fills_isolated_holes(rng):
+    depth = np.full((1, 16, 16), 2.0, np.float32)
+    depth[0, 8, 8] = 0.0  # invalid pixel surrounded by valid ones
+    out = np.asarray(pp.morph_dilate(jnp.asarray(depth)))
+    assert abs(out[0, 8, 8] - 2.0) < 1e-5
+    # valid pixels pass through untouched
+    np.testing.assert_allclose(out[0, 0, 0], 2.0)
+
+
+def test_morph_dilate_keeps_empty_regions_empty():
+    depth = np.zeros((1, 8, 8), np.float32)
+    out = np.asarray(pp.morph_dilate(jnp.asarray(depth)))
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_bilateral_preserves_smooth_depth(small_rig):
+    rig = small_rig["rig"]
+    depth = jnp.asarray(small_rig["depth"])
+    color = jnp.asarray(small_rig["color"])
+    depth2, color_lab = pp.bilateral_lab(depth, color, rig)
+    d2 = np.asarray(depth2)
+    # pick pixels well inside the main sphere of sensor 0
+    dn_exact = (small_rig["depth"] - 0.5) / 4.0
+    k = 0
+    valid = small_rig["depth"][k] > 0
+    # erode the valid mask so the 13x13 window is fully on-surface
+    interior = valid.copy()
+    for _ in range(8):
+        interior = (
+            interior
+            & np.roll(interior, 1, 0) & np.roll(interior, -1, 0)
+            & np.roll(interior, 1, 1) & np.roll(interior, -1, 1)
+        )
+    ys, xs = np.nonzero(interior)
+    assert len(ys) > 50
+    got = d2[k, ys, xs, 0]
+    want = dn_exact[k, ys, xs]
+    # the filter smooths surface curvature; 6e-3 normalized ≈ 2.4 cm bound
+    np.testing.assert_allclose(got, want, atol=8e-3)
+    # lateral quality high in the interior
+    assert np.mean(d2[k, ys, xs, 1] > 0.5) > 0.9
+    assert color_lab.shape == depth.shape + (3,)
+
+
+def test_full_preprocess_invariants(small_rig):
+    rig = small_rig["rig"]
+    frames = pp.preprocess(
+        jnp.asarray(small_rig["depth"]), jnp.asarray(small_rig["color"]), rig
+    )
+    sil = np.asarray(frames.silhouette)
+    dep = np.asarray(frames.depth)
+    nrm = np.asarray(frames.normals)
+    qual = np.asarray(frames.quality)
+    scene = small_rig["scene"]
+    cams = small_rig["cams"]
+
+    assert sil.shape == small_rig["depth"].shape
+    # silhouette is binary
+    assert set(np.unique(sil)).issubset({0.0, 1.0})
+
+    for k, cam in enumerate(cams):
+        valid = small_rig["depth"][k] > 0
+        interior = valid.copy()
+        for _ in range(8):
+            interior = (
+                interior
+                & np.roll(interior, 1, 0) & np.roll(interior, -1, 0)
+                & np.roll(interior, 1, 1) & np.roll(interior, -1, 1)
+            )
+        ys, xs = np.nonzero(interior)
+        sel = slice(0, len(ys), max(1, len(ys) // 100))
+        ys, xs = ys[sel], xs[sel]
+        # silhouette is set on most of the surface interior (curvature /
+        # occlusion boundaries legitimately drop it: pre_boundary.fs:102-113
+        # zeroes the silhouette whenever the lateral channel is <= 0.65)
+        assert np.mean(sil[k, ys, xs]) > 0.75
+        # quality strictly positive there
+        assert np.mean(qual[k, ys, xs] > 0.0) > 0.75
+        # normals point against the viewing direction (outward surface)
+        u = (xs + 0.5) / cam.width
+        v = (ys + 0.5) / cam.height
+        d = small_rig["depth"][k, ys, xs].astype(np.float64)
+        world = cam.unproject(u, v, d)
+        to_cam = cam.position - world
+        to_cam = to_cam / np.linalg.norm(to_cam, axis=-1, keepdims=True)
+        cosang = np.sum(to_cam * nrm[k, ys, xs], axis=-1)
+        assert np.mean(cosang > 0.3) > 0.8
+        # analytic sphere normal agreement
+        centers = scene.centers[np.argmin(
+            np.linalg.norm(world[:, None, :] - scene.centers, axis=-1) - scene.radii, axis=-1)]
+        n_exact = world - centers
+        n_exact /= np.linalg.norm(n_exact, axis=-1, keepdims=True)
+        dot = np.sum(n_exact * nrm[k, ys, xs], axis=-1)
+        assert np.mean(dot > 0.85) > 0.8
+
+    # empty background pixels have zero silhouette and quality
+    bg = small_rig["depth"][0] == 0
+    # dilation may fill a 1px rim; erode bg a bit
+    for _ in range(4):
+        bg = (
+            bg & np.roll(bg, 1, 0) & np.roll(bg, -1, 0)
+            & np.roll(bg, 1, 1) & np.roll(bg, -1, 1)
+        )
+    assert np.all(sil[0][bg] == 0.0)
+    assert np.all(qual[0][bg] == 0.0)
+    assert np.all(dep[0][bg][:, 0] <= 0.0)
