@@ -1,0 +1,143 @@
+"""Hole-filling pyramid (inpaint + colorfill).
+
+TPU re-expression of the reference's LOD-atlas hole filling
+(ReconIntegration::fillColors, recon_integration.cpp:279-338): the GL version
+packs a mip pyramid into one 1.5x-wide atlas texture (ViewLod) and runs
+transfer + inpaint passes per LOD, then a colorfill resolve. Here the pyramid
+is a plain list of per-LOD images.
+
+  inpaint   glsl/tsdf_inpaint.fs:33-92   downsample with hole rejection: 4x4
+            window, keep non-hole samples with depth >= window average
+  colorfill glsl/tsdf_colorfill.fs:30-55 per pixel: first non-hole LOD; if
+            coarser than 0, blend the two next-coarser LODs
+
+Hole encoding follows the reference: alpha <= 0 marks a hole (the renderer's
+miss pixels have alpha 0; fallback-blended pixels have alpha -1 and count as
+holes for filling purposes only when fully transparent — the inpaint shader
+keys on color.a <= 0, tsdf_inpaint.fs:48).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .sample import sample2d
+
+
+def inpaint_downsample(color: jnp.ndarray, depth: jnp.ndarray):
+    """One pyramid level: [H, W, 4] + [H, W] -> [H/2, W/2, 4] + [H/2, W/2].
+
+    For each target pixel, gathers the 4x4 source window around its 2x2
+    children ([-1..2] offsets, tsdf_inpaint.fs:43-46), averages the depth of
+    non-hole samples and blends those at or beyond that average
+    (:70-85, equal weights — the gauss table is commented out in the shader).
+    """
+    h, w = depth.shape
+    h2, w2 = h // 2, w // 2
+    # pad by 1 on the leading edge and 2 on the trailing edge -> window [-1, 2]
+    cpad = jnp.pad(color, ((1, 2), (1, 2), (0, 0)), mode="edge")
+    dpad = jnp.pad(depth, ((1, 2), (1, 2)), mode="edge")
+
+    cols = []
+    deps = []
+    holes = []
+    for oy in range(4):
+        for ox in range(4):
+            c = cpad[oy : oy + h : 2, ox : ox + w : 2][:h2, :w2]
+            d = dpad[oy : oy + h : 2, ox : ox + w : 2][:h2, :w2]
+            cols.append(c)
+            deps.append(d)
+            holes.append(c[..., 3] <= 0.0)
+    cols = jnp.stack(cols)          # [16, h2, w2, 4]
+    deps = jnp.stack(deps)          # [16, h2, w2]
+    holes = jnp.stack(holes)
+
+    nonhole = ~holes
+    cnt = jnp.sum(nonhole, axis=0)
+    depth_av = jnp.sum(jnp.where(nonhole, deps, 0.0), axis=0) / jnp.maximum(cnt, 1)
+
+    keep = nonhole & (deps >= depth_av)
+    wsum = jnp.sum(keep, axis=0).astype(depth.dtype)
+    c_out = jnp.sum(jnp.where(keep[..., None], cols, 0.0), axis=0) / jnp.maximum(
+        wsum, 1.0
+    )[..., None]
+    d_out = jnp.sum(jnp.where(keep, deps, 0.0), axis=0) / jnp.maximum(wsum, 1.0)
+    c_out = jnp.concatenate([c_out[..., :3], jnp.ones_like(c_out[..., 3:4])], axis=-1)
+
+    # all-hole windows (tsdf_inpaint.fs:59-68): keep the center depth; mark
+    # r=-1 holes in front of geometry, background otherwise
+    d_center = depth[::2, ::2][:h2, :w2]
+    empty = cnt == 0
+    hole_color = jnp.where(
+        (d_center < 1.0)[..., None],
+        jnp.array([0.0, 0.0, 0.0, -1.0], depth.dtype),
+        jnp.array([0.0, 1.0, 0.0, 0.0], depth.dtype),
+    )
+    c_out = jnp.where(empty[..., None], hole_color, c_out)
+    d_out = jnp.where(empty, d_center, d_out)
+    return c_out, d_out
+
+
+def build_pyramid(color: jnp.ndarray, depth: jnp.ndarray, num_lods: int):
+    """LOD chain starting at the rendered image (fillColors loop,
+    recon_integration.cpp:299-321). Returns lists of per-LOD color/depth."""
+    colors = [color]
+    depths = [depth]
+    for _ in range(num_lods - 1):
+        if min(colors[-1].shape[0], colors[-1].shape[1]) < 2:
+            break
+        c, d = inpaint_downsample(colors[-1], depths[-1])
+        colors.append(c)
+        depths.append(d)
+    return colors, depths
+
+
+def colorfill(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarray:
+    """Resolve pass (tsdf_colorfill.fs:30-55): per pixel take the finest
+    non-hole LOD; where that is coarser than LOD 0, blend the two
+    next-coarser LODs bilinearly. Returns [H, W, 4]."""
+    h, w = depths[0].shape
+    n = len(colors)
+
+    # nearest-texel lookups of each LOD at every screen pixel
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    per_lod = []
+    for l in range(n):
+        hl, wl = colors[l].shape[:2]
+        yl = jnp.clip((ys * hl) // h, 0, hl - 1)
+        xl = jnp.clip((xs * wl) // w, 0, wl - 1)
+        per_lod.append(colors[l][yl[:, None], xl[None, :]])
+    stack = jnp.stack(per_lod)  # [n, H, W, 4]
+
+    valid = stack[..., 3] > 0.0
+    # first valid lod index per pixel
+    first = jnp.argmax(valid, axis=0)
+    any_valid = jnp.any(valid, axis=0)
+    first = jnp.where(any_valid, first, n - 1)
+
+    base = jnp.take_along_axis(stack, first[None, ..., None], axis=0)[0]
+
+    # blend of lods (first+1, first+2) with the reference's quirky weights
+    # (tsdf_colorfill.fs:42-51: w1 = distance(texcoord, floor(texcoord)))
+    uv = jnp.stack(
+        jnp.meshgrid(
+            (jnp.arange(w, dtype=jnp.float32) + 0.5) / w,
+            (jnp.arange(h, dtype=jnp.float32) + 0.5) / h,
+            indexing="xy",
+        ),
+        axis=-1,
+    )
+    w1 = jnp.linalg.norm(uv, axis=-1)
+    w2 = 1.0 - w1
+    blends = []
+    for l in range(n):
+        l1 = min(l + 1, n - 1)
+        l2 = min(l + 2, n - 1)
+        c1 = sample2d(colors[l1], uv)
+        c2 = sample2d(colors[l2], uv)
+        blends.append((c1 * w1[..., None] + c2 * w2[..., None]) / (w1 + w2)[..., None])
+    blend_stack = jnp.stack(blends)
+    blended = jnp.take_along_axis(blend_stack, first[None, ..., None], axis=0)[0]
+
+    out = jnp.where((first > 0)[..., None], blended, base)
+    return out
