@@ -1,0 +1,93 @@
+"""Named timer registry with the reference's CSV export contract.
+
+≙ TimerDatabase + TimerGPU (framework/rendering/timer_database.hpp:10-37,
+timer_gpu.cpp:13-31): named per-stage timers accumulating mean/min/max, CSV
+writers with one column per timer (timer_database.cpp:59-121). GL timestamp
+queries become wall-clock spans around device work with an explicit
+``block_until_ready`` on end() when a device value is passed (the JAX
+dispatch is async, like the GL queries).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+
+
+@dataclass
+class _Timer:
+    total: float = 0.0
+    count: int = 0
+    vmin: float = float("inf")
+    vmax: float = 0.0
+    _start: float = 0.0
+    last: float = 0.0
+
+    def begin(self) -> None:
+        self._start = time.perf_counter()
+
+    def end(self, sync=None) -> float:
+        if sync is not None:
+            jax.block_until_ready(sync)
+        dt = time.perf_counter() - self._start
+        self.last = dt
+        self.total += dt
+        self.count += 1
+        self.vmin = min(self.vmin, dt)
+        self.vmax = max(self.vmax, dt)
+        return dt
+
+    @property
+    def mean(self) -> float:
+        return self.total / self.count if self.count else 0.0
+
+
+class TimerDatabase:
+    """Singleton like the reference's (timer_database.hpp:13)."""
+
+    _instance: "TimerDatabase | None" = None
+
+    def __init__(self):
+        self.timers: dict[str, _Timer] = {}
+
+    @classmethod
+    def instance(cls) -> "TimerDatabase":
+        if cls._instance is None:
+            cls._instance = TimerDatabase()
+        return cls._instance
+
+    def add_timer(self, name: str) -> None:
+        self.timers.setdefault(name, _Timer())
+
+    def begin(self, name: str) -> None:
+        self.timers.setdefault(name, _Timer()).begin()
+
+    def end(self, name: str, sync=None) -> float:
+        return self.timers[name].end(sync)
+
+    def duration(self, name: str) -> float:
+        return self.timers[name].last
+
+    def mean(self, name: str) -> float:
+        return self.timers[name].mean
+
+    # CSV contract (timer_database.cpp:59-121): header row of timer names,
+    # one value row, times in milliseconds
+    def _write(self, path: str, getter) -> None:
+        names = sorted(self.timers)
+        with open(path, "w") as f:
+            f.write(",".join(names) + "\n")
+            f.write(",".join(f"{getter(self.timers[n]) * 1e3:.6f}" for n in names) + "\n")
+
+    def write_mean(self, path: str) -> None:
+        self._write(path, lambda t: t.mean)
+
+    def write_min(self, path: str) -> None:
+        self._write(path, lambda t: t.vmin if t.count else 0.0)
+
+    def write_max(self, path: str) -> None:
+        self._write(path, lambda t: t.vmax)
+
+    def reset(self) -> None:
+        self.timers.clear()

@@ -1,0 +1,144 @@
+"""I/O layer: config/CLI/ks parsing, DXT codec, stream roundtrip, timers."""
+import numpy as np
+
+from rgbd_recon_tpu.io.configurator import Configurator
+from rgbd_recon_tpu.io.cmdparser import CMDParser
+from rgbd_recon_tpu.io.ks import parse_ks
+from rgbd_recon_tpu.io import dxt
+from rgbd_recon_tpu.io.stream import StreamReader, StreamWriter, FrameFormat
+from rgbd_recon_tpu.io.ingest import DoubleBuffer, FeedbackSender
+from rgbd_recon_tpu.utils.timers import TimerDatabase
+
+
+def test_configurator_type_inference(tmp_path):
+    p = tmp_path / "test.conf"
+    p.write_text(
+        """# comment line
+recon_mode: 1
+voxel_size: 0.01
+play: true
+bilateral: false
+screenWidth : 1280
+texture_settings: 1, 2, 3
+"""
+    )
+    c = Configurator().read(str(p))
+    assert c.get_uint("recon_mode") == 1
+    assert abs(c.get_float("voxel_size") - 0.01) < 1e-9
+    assert c.get_bool("play") is True
+    assert c.get_bool("bilateral") is False
+    assert c.get_uint("screenWidth") == 1280
+    assert c.get_list("texture_settings") == [1, 2, 3]
+
+
+def test_cmdparser():
+    p = CMDParser("kinect_surface.ks [config.conf]")
+    p.add_opt("s", 1, "server_socket", "server socket")
+    p.add_opt("r", 2, "resolution", "window resolution")
+    p.add_opt("f", 1, "feedback", "feedback socket")
+    p.init(["-s", "127.0.0.1:7000", "-r", "1280", "720", "scene.ks", "cfg.conf"])
+    assert p.is_opt_set("s")
+    assert not p.is_opt_set("f")
+    assert p.get_opts_string("s") == ["127.0.0.1:7000"]
+    assert p.get_opts_int("r") == [1280, 720]
+    assert p.args == ["scene.ks", "cfg.conf"]
+
+
+def test_parse_ks(tmp_path):
+    p = tmp_path / "scene.ks"
+    p.write_text("kinect 23.yml\nkinect /abs/24.yml\nbbx -1 0 -1 1 2.2 1\n")
+    files, bbox = parse_ks(str(p))
+    assert files[0] == str(tmp_path / "23.yml")
+    assert files[1] == "/abs/24.yml"
+    np.testing.assert_allclose(bbox.min, [-1, 0, -1])
+    np.testing.assert_allclose(bbox.max, [1, 2.2, 1])
+
+
+def test_dxt1_roundtrip_flat_colors():
+    # solid-color blocks survive DXT1 exactly (up to 565 quantization)
+    img = np.zeros((8, 16, 3), np.uint8)
+    img[:4, :4] = [255, 0, 0]
+    img[:4, 4:8] = [0, 255, 0]
+    img[4:, :] = [10, 200, 100]
+    enc = dxt.encode_dxt1(img)
+    dec = dxt.decode_dxt1(enc, 16, 8)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8  # 565 quantization
+
+
+def test_dxt1_gradient_close():
+    # a smooth per-block gradient is near-representable by 4-color palettes
+    yy, xx = np.mgrid[0:16, 0:16].astype(np.float32)
+    img = np.stack([xx * 12, yy * 12, (xx + yy) * 6], axis=-1).astype(np.uint8)
+    dec = dxt.decode_dxt1(dxt.encode_dxt1(img), 16, 16)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 12
+
+
+def test_stream_roundtrip(tmp_path, rng):
+    fmt = FrameFormat(width=32, height=16, width_c=32, height_c=16, compressed_rgb=0)
+    paths = [str(tmp_path / f"s{k}.stream") for k in range(2)]
+    w = StreamWriter(paths, fmt)
+    d0 = rng.uniform(0.6, 4.0, (2, 16, 32)).astype(np.float32)
+    c0 = rng.uniform(0, 1, (2, 16, 32, 3)).astype(np.float32)
+    w.write(d0, c0)
+    w.write(d0 * 0.5, c0)
+    w.close()
+    r = StreamReader(paths, fmt, looping=True)
+    assert len(r) == 2
+    d, c = r.read()
+    np.testing.assert_allclose(d, d0, atol=1e-6)
+    np.testing.assert_allclose(c, np.round(c0 * 255) / 255.0, atol=1e-6)
+    r.read()
+    d3, _ = r.read()  # loops back to frame 0
+    np.testing.assert_allclose(d3, d0, atol=1e-6)
+
+
+def test_stream_compressed_depth_roundtrip(tmp_path, rng):
+    fmt = FrameFormat(width=16, height=8, width_c=16, height_c=8,
+                      compressed_rgb=0, compressed_depth=True)
+    paths = [str(tmp_path / "c.stream")]
+    w = StreamWriter(paths, fmt)
+    d0 = rng.uniform(0.8, 4.0, (1, 8, 16)).astype(np.float32)
+    c0 = np.zeros((1, 8, 16, 3), np.float32)
+    w.write(d0, c0)
+    w.close()
+    r = StreamReader(paths, fmt, looping=False)
+    d, _ = r.read()
+    # sqrt-mapped u8 depth: coarse but monotone
+    np.testing.assert_allclose(d, d0, atol=0.04)
+    assert r.read() is None
+
+
+def test_double_buffer_swap():
+    buf = DoubleBuffer((1, 2, 2), (1, 2, 2, 3))
+    assert buf.swap_if_dirty() is None
+    buf.back_depth[:] = 7.0
+    buf.publish(1.5)
+    got = buf.swap_if_dirty()
+    assert got is not None
+    depth, _, ts = got
+    assert ts == 1.5
+    np.testing.assert_allclose(depth, 7.0)
+    assert buf.swap_if_dirty() is None
+
+
+def test_feedback_pack_shape():
+    m = np.eye(4, dtype=np.float32)
+    payload = FeedbackSender.pack(m, m, m, 1)
+    assert len(payload) == 16 * 4 * 3 + 4
+
+
+def test_timer_database_csv(tmp_path):
+    db = TimerDatabase()
+    db.add_timer("2integrate")
+    db.add_timer("draw")
+    for _ in range(3):
+        db.begin("2integrate")
+        db.end("2integrate")
+        db.begin("draw")
+        db.end("draw")
+    p = tmp_path / "mean.csv"
+    db.write_mean(str(p))
+    lines = p.read_text().strip().split("\n")
+    assert lines[0] == "2integrate,draw"
+    vals = [float(v) for v in lines[1].split(",")]
+    assert all(v >= 0.0 for v in vals)
