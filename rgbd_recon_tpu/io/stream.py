@@ -124,7 +124,7 @@ class StreamWriter:
         """depth f32[K, H, W] meters; color f32[K, Hc, Wc, 3] in [0, 1]."""
         fmt = self.fmt
         for k, f in enumerate(self._files):
-            img = np.clip(color[k] * 255.0, 0, 255).astype(np.uint8)
+            img = np.clip(np.rint(color[k] * 255.0), 0, 255).astype(np.uint8)
             if fmt.compressed_rgb == 1:
                 f.write(dxt.encode_dxt1(img).tobytes())
             elif fmt.compressed_rgb == 5:
