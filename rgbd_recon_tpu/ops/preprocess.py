@@ -123,7 +123,8 @@ def bilateral_lab(
     cfg: PreprocessConfig = PreprocessConfig(),
 ):
     """pre_depth.fs main: returns (depth2 [K,H,W,2] = (depth_norm, w_range/n),
-    color_lab [K,H,W,3]).
+    color_lab [K,H,W,3], color_registered [K,H,W,3] — the depth-registered
+    RGB the LAB conversion consumes; the fast TSDF path reuses it).
 
     depth_m: [K, H, W] meters (morphed when cfg.use_processed_depth).
     color:   [K, Hc, Wc, 3] RGB in [0, 1].
@@ -149,7 +150,7 @@ def bilateral_lab(
     if not cfg.filter_textures:
         dn = jnp.where(in_box, depth_norm, 0.0)
         lat = jnp.where(in_box, 1.0, 0.0)
-        return jnp.stack([dn, lat], axis=-1), color_lab
+        return jnp.stack([dn, lat], axis=-1), color_lab, color_rgb
 
     # 13x13 bilateral on meters depth (pre_depth.fs:85-127, kernel_size=6)
     ks = 6
@@ -180,7 +181,7 @@ def bilateral_lab(
     out_y = w_range / n_samples
     dn = jnp.where(in_box, out_x, 0.0)
     lat = jnp.where(in_box, out_y, 0.0)
-    return jnp.stack([dn, lat], axis=-1), color_lab
+    return jnp.stack([dn, lat], axis=-1), color_lab, color_rgb
 
 
 # ---------------------------------------------------------------------------
@@ -342,6 +343,7 @@ class ProcessedFrames(NamedTuple):
     normals: jnp.ndarray     # f32[K, H, W, 3] world space
     quality: jnp.ndarray     # f32[K, H, W]
     color: jnp.ndarray       # f32[K, Hc, Wc, 3] rgb in [0, 1] (pass-through)
+    color_registered: jnp.ndarray  # f32[K, H, W, 3] depth-registered rgb
     color_lab: jnp.ndarray   # f32[K, H, W, 3]
     world: jnp.ndarray       # f32[K, H, W, 3] cv_xyz-unprojected positions
     world_valid: jnp.ndarray  # bool[K, H, W]
@@ -357,7 +359,7 @@ def preprocess(
     """Full preprocessing chain (NetKinectArray::processTextures order)."""
     morphed = morph_dilate(depth_m)
     feed = morphed if cfg.use_processed_depth else depth_m
-    depth2, color_lab = bilateral_lab(feed, color, rig, cfg)
+    depth2, color_lab, color_reg = bilateral_lab(feed, color, rig, cfg)
     depth_b, sil = boundary(depth2, color_lab, cfg)
     nrm, world, world_valid = normals(depth_b, rig)
     qual = quality(depth_b, nrm, rig)
@@ -367,6 +369,7 @@ def preprocess(
         normals=nrm,
         quality=qual,
         color=color,
+        color_registered=color_reg,
         color_lab=color_lab,
         world=world,
         world_valid=world_valid,

@@ -1,0 +1,347 @@
+"""Sweep-composited TSDF renderer — the fast path.
+
+The reference marches every ray independently through the 3D texture
+(glsl/tsdf_raymarch.fs), leaning on GPU texture units for ~hundreds of
+trilinear fetches per pixel. On TPU that becomes serialized gathers. This
+module re-expresses the march as a *plane sweep* (perspective shear-warp
+factorization):
+
+1. Pick the volume axis most aligned with the view direction and sweep its
+   slices front-to-back. For a pinhole camera, projecting slice k onto a
+   fixed *base plane* parallel to the slices is a pure scale+translate —
+   so resampling each slice onto a fixed intermediate grid is SEPARABLE and
+   runs as two hat-weight matmuls on the MXU (no gathers).
+2. Ray state (previous density, hit position, interpolated color/gradient)
+   lives on the intermediate grid and is updated slice-by-slice in a
+   ``lax.scan`` — the exact zero-crossing + secant-refinement logic of the
+   shader (fs:92-110), vectorized over all rays at once.
+3. One final 2D resample warps the intermediate hit-buffer to the screen
+   (the only gather left — ~4 taps/pixel instead of ~4 per *step*).
+
+Space skipping: slices whose 16-voxel slab holds no occupied brick skip
+their resample entirely via ``lax.cond`` (the analogue of the reference's
+brick depth-peel interval, recon_integration.cpp:408-428).
+
+Semantics vs the reference (documented deviations, surface-visible error is
+sub-voxel): steps land on slice planes (1 voxel apart along the sweep axis)
+instead of ``limit/2`` along the ray; gradient normals use slice-local
+central differences instead of ±limit/2 3D taps.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .raymarch import RenderCamera, RenderOutput, RenderParams, vol_to_world_matrix, phong_shade
+from ..utils.math import Bbox
+
+
+class SweepConfig(NamedTuple):
+    res: tuple[int, int] = (512, 512)  # intermediate grid (rows, cols)
+
+
+def pick_axis(modelview: np.ndarray, vol_to_world: np.ndarray) -> tuple[int, bool]:
+    """Choose sweep coordinate axis (0=x, 1=y, 2=z in volume space) and
+    whether the camera sits on the high side. HOST-side (concrete matrices).
+    """
+    mv = np.asarray(modelview) @ np.asarray(vol_to_world)
+    inv = np.linalg.inv(mv)
+    eye = inv[:3, 3]
+    fwd = -inv[:3, 2]  # camera looks down -z in eye space
+    axis = int(np.argmax(np.abs(fwd)))
+    flip = bool(eye[axis] > 0.5)
+    return axis, flip
+
+
+def _permutation(axis: int):
+    """Coordinate permutation putting the sweep axis first.
+
+    Returns (coord_perm, array_perm): volume coords (x, y, z) -> sweep coords
+    (s, r, c); vol array [z, y, x] -> [sweep, row, col]."""
+    others = [a for a in (0, 1, 2) if a != axis]
+    coord_perm = (axis, others[0], others[1])
+    # array axis for coord a is (2 - a)
+    array_perm = tuple(2 - a for a in coord_perm)
+    return coord_perm, array_perm
+
+
+def _hat_rows(coords: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[m, n] linear-interp weights; coords in texel space (may be outside —
+    weights then vanish, so outside-volume samples read as 0)."""
+    i = jax.lax.broadcasted_iota(jnp.float32, (coords.shape[0], n), 1)
+    return jnp.clip(1.0 - jnp.abs(coords[:, None] - i), 0.0, 1.0)
+
+
+class SweepResult(NamedTuple):
+    hit: jnp.ndarray       # f32[Ti, Si] 0/1
+    hit_s: jnp.ndarray     # f32[Ti, Si] sweep-coordinate of refined hit
+    hit_color: jnp.ndarray  # f32[Ti, Si, 4]
+    hit_grad: jnp.ndarray  # f32[Ti, Si, 3] volume-space gradient (unnormalized, sweep-coord order)
+    base_extent: tuple      # (r0, r1, c0, c1) intermediate window in volume units
+    eye_p: jnp.ndarray     # eye in permuted coords
+    num_samples: jnp.ndarray  # f32[Ti, Si]
+
+
+def sweep(
+    tsdf: jnp.ndarray,
+    cvol: jnp.ndarray,
+    cam: RenderCamera,
+    bbox: Bbox,
+    limit: float,
+    axis: int,
+    flip: bool,
+    cfg: SweepConfig = SweepConfig(),
+    slab_occupied: jnp.ndarray | None = None,
+) -> SweepResult:
+    """Front-to-back sweep along ``axis``; returns per-intermediate-ray hits."""
+    coord_perm, array_perm = _permutation(axis)
+    vol = jnp.transpose(tsdf, array_perm)          # [S, R, C]
+    col = jnp.transpose(cvol, array_perm + (3,))   # [S, R, C, 4]
+    ns, nr, nc = vol.shape
+    if flip:
+        vol = vol[::-1]
+        col = col[::-1]
+    occ = None
+    if slab_occupied is not None:
+        occ = slab_occupied[::-1] if flip else slab_occupied
+
+    v2w = jnp.asarray(vol_to_world_matrix(bbox))
+    mv = cam.modelview @ v2w
+    inv = jnp.linalg.inv(mv)
+    eye = inv[:3, 3]
+    eye_p = jnp.stack([eye[coord_perm[0]], eye[coord_perm[1]], eye[coord_perm[2]]])
+    if flip:
+        eye_p = eye_p.at[0].set(1.0 - eye_p[0])
+
+    # conservative intermediate window: union over slices of the cube's
+    # in-plane extent projected back to the base plane
+    s0 = 0.5 / ns  # base plane = first slice center
+    es = eye_p[0]
+    denom = jnp.where(jnp.abs(s0 - es) < 1e-6, 1e-6, s0 - es)
+    lo, hi = [], []
+    for sk in (0.5 / ns, 1.0 - 0.5 / ns):
+        sigma = (sk - es) / denom  # slice -> base scale (g = e + (p - e)/sigma)
+        lo.append(eye_p[1:] + (jnp.zeros(2) - eye_p[1:]) / sigma)
+        hi.append(eye_p[1:] + (jnp.ones(2) - eye_p[1:]) / sigma)
+    allpts = jnp.stack(lo + hi)
+    g_lo = jnp.clip(jnp.min(allpts, axis=0), -1.0, 2.0)
+    g_hi = jnp.clip(jnp.max(allpts, axis=0), -1.0, 2.0)
+
+    ti, si = cfg.res
+    r_grid = g_lo[0] + (jnp.arange(ti, dtype=jnp.float32) + 0.5) / ti * (g_hi[0] - g_lo[0])
+    c_grid = g_lo[1] + (jnp.arange(si, dtype=jnp.float32) + 0.5) / si * (g_hi[1] - g_lo[1])
+
+    ds = 1.0 / ns  # sweep step in volume units
+
+    def resample(slice2d, slice_col, sigma):
+        """Sample slice at p = e + sigma*(g - e) on the intermediate grid."""
+        pr = eye_p[1] + sigma * (r_grid - eye_p[1])
+        pc = eye_p[2] + sigma * (c_grid - eye_p[2])
+        wr = _hat_rows(pr * nr - 0.5, nr)      # [Ti, R]
+        wc = _hat_rows(pc * nc - 0.5, nc)      # [Si, C]
+        both = jnp.concatenate([slice2d[..., None], slice_col], axis=-1)  # [R, C, 5]
+        t = jnp.einsum("tr,rcf->tcf", wr, both, preferred_element_type=jnp.float32)
+        out = jnp.einsum("sc,tcf->tsf", wc, t, preferred_element_type=jnp.float32)
+        return out  # [Ti, Si, 5]
+
+    def body(carry, k):
+        hit, hit_s, hit_c, hit_g, prev_d, prev_c, prev_g, nsamp = carry
+        s_k = (k.astype(jnp.float32) + 0.5) * ds
+        sigma = (s_k - es) / denom
+
+        def do_sample(_):
+            return resample(vol[k], col[k], sigma)
+
+        def no_sample(_):
+            return jnp.full((ti, si, 5), 0.0, jnp.float32).at[..., 0].set(-limit)
+
+        if occ is not None:
+            smp = jax.lax.cond(occ[k], do_sample, no_sample, None)
+        else:
+            smp = do_sample(None)
+
+        d = smp[..., 0]
+        c = smp[..., 1:5]
+        # slice-local gradient (for normals): in-plane central differences in
+        # volume units + sweep-direction difference
+        gr = (jnp.roll(d, -1, 0) - jnp.roll(d, 1, 0)) / (2.0 * (r_grid[1] - r_grid[0]) * sigma + 1e-12)
+        gc = (jnp.roll(d, -1, 1) - jnp.roll(d, 1, 1)) / (2.0 * (c_grid[1] - c_grid[0]) * sigma + 1e-12)
+        gs = (d - prev_d) / ds
+        g = jnp.stack([gs, gr, gc], axis=-1)
+
+        active = hit < 0.5
+        crossed = active & (d > 0.0) & (k > 0)
+        den = d - prev_d
+        frac = prev_d / jnp.where(jnp.abs(den) > 1e-20, den, 1e-20)
+        # reference refinement (fs:100): pos = (pos - step) - step*frac
+        s_hit = s_k - ds - ds * frac
+        alpha = jnp.clip(-frac, 0.0, 1.0)
+        c_hit = prev_c + (c - prev_c) * alpha[..., None]
+        g_hit = prev_g + (g - prev_g) * alpha[..., None]
+
+        hit_s = jnp.where(crossed, s_hit, hit_s)
+        hit_c = jnp.where(crossed[..., None], c_hit, hit_c)
+        hit_g = jnp.where(crossed[..., None], g_hit, hit_g)
+        hit = jnp.where(crossed, 1.0, hit)
+        nsamp = nsamp + active.astype(jnp.float32)
+        return (hit, hit_s, hit_c, hit_g, d, c, g, nsamp), None
+
+    z2 = jnp.zeros((ti, si), jnp.float32)
+    z3 = jnp.zeros((ti, si, 3), jnp.float32)
+    z4 = jnp.zeros((ti, si, 4), jnp.float32)
+    init = (z2, z2, z4, z3, jnp.full((ti, si), -limit), z4, z3, z2)
+    final, _ = jax.lax.scan(body, init, jnp.arange(ns))
+    hit, hit_s, hit_c, hit_g = final[0], final[1], final[2], final[3]
+    nsamp = final[7]
+    return SweepResult(
+        hit, hit_s, hit_c, hit_g,
+        (g_lo[0], g_hi[0], g_lo[1], g_hi[1]),
+        eye_p,
+        nsamp,
+    )
+
+
+def render_fast(
+    tsdf: jnp.ndarray,
+    cvol: jnp.ndarray,
+    cam: RenderCamera,
+    bbox: Bbox,
+    limit: float,
+    axis: int,
+    flip: bool,
+    params: RenderParams = RenderParams(),
+    cfg: SweepConfig = SweepConfig(),
+    slab_occupied: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """Sweep + screen warp + shading. Drop-in fast replacement for
+    ops.raymarch.render (shade modes 0/1/2)."""
+    res = sweep(tsdf, cvol, cam, bbox, limit, axis, flip, cfg, slab_occupied)
+    coord_perm, _ = _permutation(axis)
+    ti, si = cfg.res
+
+    # screen rays in volume space
+    v2w = jnp.asarray(vol_to_world_matrix(bbox))
+    mvp = cam.proj @ cam.modelview @ v2w
+    inv = jnp.linalg.inv(mvp)
+    w, h = cam.width, cam.height
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
+    xx, yy = jnp.meshgrid(xs, ys, indexing="xy")
+    pn = jnp.stack([xx, yy, -jnp.ones_like(xx), jnp.ones_like(xx)], -1) @ inv.T
+    pf = jnp.stack([xx, yy, jnp.ones_like(xx), jnp.ones_like(xx)], -1) @ inv.T
+    pn = pn[..., :3] / pn[..., 3:4]
+    pf = pf[..., :3] / pf[..., 3:4]
+    d = pf - pn
+    mv_inv = jnp.linalg.inv(cam.modelview @ v2w)
+    eye = (mv_inv @ jnp.array([0, 0, 0, 1.0], jnp.float32))[:3]
+
+    # permute to sweep coords
+    eye_p = res.eye_p
+    d_p = jnp.stack([d[..., coord_perm[0]], d[..., coord_perm[1]], d[..., coord_perm[2]]], -1)
+    if flip:
+        d_p = d_p.at[..., 0].multiply(-1.0)
+
+    # ray ∩ base plane -> intermediate grid coords
+    ns_vox = tsdf.shape[2 - axis]
+    s0 = 0.5 / ns_vox
+    t_base = (s0 - eye_p[0]) / jnp.where(jnp.abs(d_p[..., 0]) < 1e-9, 1e-9, d_p[..., 0])
+    g_r = eye_p[1] + t_base * d_p[..., 1]
+    g_c = eye_p[2] + t_base * d_p[..., 2]
+    r0, r1, c0, c1 = res.base_extent
+    fr = (g_r - r0) / (r1 - r0) * ti - 0.5
+    fc = (g_c - c0) / (c1 - c0) * si - 0.5
+
+    # mask-weighted bilinear warp of the hit buffers
+    packed = jnp.concatenate(
+        [
+            res.hit[..., None],
+            (res.hit_s * res.hit)[..., None],
+            res.hit_color * res.hit[..., None],
+            res.hit_grad * res.hit[..., None],
+        ],
+        axis=-1,
+    )  # [Ti, Si, 9]
+
+    i0 = jnp.clip(jnp.floor(fr).astype(jnp.int32), 0, ti - 1)
+    j0 = jnp.clip(jnp.floor(fc).astype(jnp.int32), 0, si - 1)
+    i1 = jnp.minimum(i0 + 1, ti - 1)
+    j1 = jnp.minimum(j0 + 1, si - 1)
+    ff = jnp.clip(fr - i0, 0.0, 1.0)[..., None]
+    gg = jnp.clip(fc - j0, 0.0, 1.0)[..., None]
+    flat = packed.reshape(ti * si, -1)
+
+    def tap(i, j):
+        return jnp.take(flat, i * si + j, axis=0)
+
+    warped = (
+        tap(i0, j0) * (1 - ff) * (1 - gg)
+        + tap(i0, j1) * (1 - ff) * gg
+        + tap(i1, j0) * ff * (1 - gg)
+        + tap(i1, j1) * ff * gg
+    )
+    wmask = warped[..., 0]
+    hit = wmask > 0.5
+    # un-premultiply by the hit coverage
+    norm = jnp.maximum(wmask, 1e-6)[..., None]
+    hit_s = warped[..., 1:2] / norm
+    rgba = warped[..., 2:6] / norm
+    grad_p = warped[..., 6:9] / norm
+
+    # reconstruct hit position in volume space
+    t_hit = (hit_s[..., 0] - eye_p[0]) / jnp.where(
+        jnp.abs(d_p[..., 0]) < 1e-9, 1e-9, d_p[..., 0]
+    )
+    pos_p = eye_p + d_p * t_hit[..., None]
+    # unpermute (and unflip) back to volume xyz
+    comps = [None, None, None]
+    sweep_c = (1.0 - pos_p[..., 0]) if flip else pos_p[..., 0]
+    comps[coord_perm[0]] = sweep_c
+    comps[coord_perm[1]] = pos_p[..., 1]
+    comps[coord_perm[2]] = pos_p[..., 2]
+    pos = jnp.stack(comps, axis=-1)
+
+    g = [None, None, None]
+    gs = -grad_p[..., 0] if flip else grad_p[..., 0]
+    g[coord_perm[0]] = gs
+    g[coord_perm[1]] = grad_p[..., 1]
+    g[coord_perm[2]] = grad_p[..., 2]
+    grad = jnp.stack(g, axis=-1)
+    # raymarch convention: normal = -normalize(gradient) (fs:140-149)
+    nvol = -grad
+    nn = jnp.linalg.norm(nvol, axis=-1, keepdims=True)
+    nvol = nvol / jnp.where(nn < 1e-20, 1.0, nn)
+
+    normal_view = nvol @ cam.modelview[:3, :3].T
+    nn2 = jnp.linalg.norm(normal_view, axis=-1, keepdims=True)
+    normal_view = normal_view / jnp.where(nn2 < 1e-20, 1.0, nn2)
+    mvw = cam.modelview @ v2w
+    view_pos = pos @ mvw[:3, :3].T + mvw[:3, 3]
+
+    if params.shade_mode == 1:
+        rgb = phong_shade(view_pos, normal_view)
+        rgba = jnp.concatenate([rgb, rgba[..., 3:4]], axis=-1)
+    elif params.shade_mode == 2:
+        rgba = jnp.concatenate([nvol, rgba[..., 3:4]], axis=-1)
+
+    z = view_pos[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-20, -1e-20, z)
+    frag_depth = (cam.proj[2, 2] * z + cam.proj[2, 3]) / -zs * 0.5 + 0.5
+
+    miss = ~hit
+    rgba = jnp.where(miss[..., None], 0.0, rgba)
+    frag_depth = jnp.where(miss, 1.0, frag_depth)
+    nsamp = jnp.zeros((h, w), jnp.int32)
+    return RenderOutput(rgba, frag_depth, hit, nsamp)
+
+
+def slab_occupancy(mask16: jnp.ndarray, axis: int, n_slices: int) -> jnp.ndarray:
+    """Per-slice occupancy flags along the sweep axis from the 16^3 brick
+    mask: bool[n_slices]."""
+    array_axis = 2 - axis
+    other = tuple(a for a in range(3) if a != array_axis)
+    per_block = jnp.any(mask16, axis=other)  # [nb]
+    return jnp.repeat(per_block, n_slices // per_block.shape[0])

@@ -85,8 +85,10 @@ def integrate(
 
         # silhouette gate (:33-39): when sil < 1 and nothing written yet,
         # force -limit and skip this sensor; when something was written the
-        # shader falls through and still integrates.
-        skip = (sil < 1.0) & (weighted_tsd >= limit)
+        # shader falls through and still integrates. The GL interpolator
+        # returns exactly 1.0 on constant-1 windows; float lerp may not, so
+        # compare against 1-1e-4 (shared with the fast path, tsdf_fast.py).
+        skip = (sil < 0.9999) & (weighted_tsd >= limit)
         forced = jnp.where(skip, -limit, weighted_tsd)
 
         in_front = sdist <= -limit

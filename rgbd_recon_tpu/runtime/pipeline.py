@@ -22,7 +22,9 @@ from ..utils.math import Bbox
 from ..ops import preprocess as pp
 from ..ops import bricks as brick_ops
 from ..ops import tsdf as tsdf_ops
+from ..ops import tsdf_fast
 from ..ops import raymarch as rm
+from ..ops import raymarch_fast as rmf
 from ..ops import inpaint
 
 
@@ -44,6 +46,12 @@ class PipelineConfig(NamedTuple):
     use_processed_depth: bool = True
     refine_boundary: bool = True
     tsdf_res: tuple[int, int, int] | None = None  # override ceil(bbox/voxel)
+    # fast (MXU-structured) integration + sweep renderer (ops/tsdf_fast.py,
+    # ops/raymarch_fast.py); requires a 16-aligned volume res
+    fast_path: bool = True
+    max_bricks: int = 1024        # occupied-brick capacity of the fast path
+    sample_window: int = 64       # image window per brick (px)
+    sweep_res: tuple[int, int] = (512, 512)  # intermediate sweep grid
 
 
 class FrameOutput(NamedTuple):
@@ -81,11 +89,20 @@ class FramePipeline:
             use_processed_depth=cfg.use_processed_depth,
             refine_boundary=cfg.refine_boundary,
         )
-        self._step = jax.jit(self._step_impl)
+        vx, vy, vz = self.tsdf_cfg.res
+        self.use_fast = bool(
+            cfg.fast_path and cfg.use_bricks
+            and vx % tsdf_fast.BRICK == 0 and vy % tsdf_fast.BRICK == 0
+            and vz % tsdf_fast.BRICK == 0
+        )
+        self.tables = (
+            tsdf_fast.precompute_tables(rig, self.tsdf_cfg) if self.use_fast else None
+        )
+        self._step = jax.jit(self._step_impl, static_argnums=(4, 5))
 
     # -- pure step ---------------------------------------------------------
 
-    def _step_impl(self, depth_m, color, modelview, proj) -> FrameOutput:
+    def _step_impl(self, depth_m, color, modelview, proj, axis=2, flip=False) -> FrameOutput:
         cfg = self.cfg
         rig = self.rig
         frames = pp.preprocess(depth_m, color, rig, self.pre_cfg)
@@ -99,17 +116,33 @@ class FramePipeline:
             vox_mask = brick_ops.voxel_occupancy(mask, self.brick_grid, self.tsdf_cfg.res)
             occupied = brick_ops.occupied_ratio(mask)
 
-        vol = tsdf_ops.integrate(frames, rig, self.tsdf_cfg, voxel_mask=vox_mask)
-        cvol = tsdf_ops.integrate_colors(frames, rig, self.tsdf_cfg, voxel_mask=vox_mask)
-
         cam = rm.RenderCamera(modelview, proj, cfg.render_width, cfg.render_height)
-        bsz_vol = self.brick_grid.brick_size / float(np.max(self.bbox.size))
-        out = rm.render(
-            vol, cvol, frames, rig, cam, self.bbox, self.tsdf_cfg.limit,
-            rm.RenderParams(shade_mode=cfg.shade_mode),
-            brick_mask=mask if (cfg.skip_space and cfg.use_bricks) else None,
-            brick_size_vol=bsz_vol,
-        )
+        if self.use_fast:
+            mask16 = tsdf_fast.brick16_mask(vox_mask)
+            vol, cvol = tsdf_fast.integrate_sparse(
+                frames, self.tables, self.tsdf_cfg, mask16,
+                max_bricks=cfg.max_bricks, window=cfg.sample_window,
+            )
+            n_slices = self.tsdf_cfg.res[axis]
+            occ_slices = (
+                rmf.slab_occupancy(mask16, axis, n_slices) if cfg.skip_space else None
+            )
+            out = rmf.render_fast(
+                vol, cvol, cam, self.bbox, self.tsdf_cfg.limit, axis, flip,
+                rm.RenderParams(shade_mode=cfg.shade_mode),
+                cfg=rmf.SweepConfig(res=cfg.sweep_res),
+                slab_occupied=occ_slices,
+            )
+        else:
+            vol = tsdf_ops.integrate(frames, rig, self.tsdf_cfg, voxel_mask=vox_mask)
+            cvol = tsdf_ops.integrate_colors(frames, rig, self.tsdf_cfg, voxel_mask=vox_mask)
+            bsz_vol = self.brick_grid.brick_size / float(np.max(self.bbox.size))
+            out = rm.render(
+                vol, cvol, frames, rig, cam, self.bbox, self.tsdf_cfg.limit,
+                rm.RenderParams(shade_mode=cfg.shade_mode),
+                brick_mask=mask if (cfg.skip_space and cfg.use_bricks) else None,
+                brick_size_vol=bsz_vol,
+            )
 
         color_out = out.color
         if cfg.fill_holes:
@@ -129,10 +162,17 @@ class FramePipeline:
 
     def step(self, depth_m, color, modelview, proj) -> FrameOutput:
         """One fused frame. depth_m f32[K,H,W] meters; color f32[K,Hc,Wc,3];
-        modelview/proj f32[4,4] row-major GL matrices."""
+        modelview/proj f32[4,4] row-major GL matrices (host numpy — the
+        sweep axis is chosen host-side; at most 6 jit variants get cached)."""
+        axis, flip = 2, False
+        if self.use_fast:
+            axis, flip = rmf.pick_axis(
+                np.asarray(modelview), rm.vol_to_world_matrix(self.bbox)
+            )
         return self._step(
             jnp.asarray(depth_m), jnp.asarray(color),
             jnp.asarray(modelview), jnp.asarray(proj),
+            axis, flip,
         )
 
     def default_camera(self, eye=None) -> tuple[np.ndarray, np.ndarray]:

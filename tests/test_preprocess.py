@@ -24,7 +24,8 @@ def test_bilateral_preserves_smooth_depth(small_rig):
     rig = small_rig["rig"]
     depth = jnp.asarray(small_rig["depth"])
     color = jnp.asarray(small_rig["color"])
-    depth2, color_lab = pp.bilateral_lab(depth, color, rig)
+    depth2, color_lab, color_reg = pp.bilateral_lab(depth, color, rig)
+    assert color_reg.shape == depth.shape + (3,)
     d2 = np.asarray(depth2)
     # pick pixels well inside the main sphere of sensor 0
     dn_exact = (small_rig["depth"] - 0.5) / 4.0
