@@ -30,6 +30,16 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     import jax
+
+    # persistent compilation cache: the fused frame program is large; cache
+    # it across bench invocations
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from rgbd_recon_tpu.utils.math import Bbox
     from rgbd_recon_tpu.calibration import synthetic
     from rgbd_recon_tpu.runtime.pipeline import FramePipeline, PipelineConfig

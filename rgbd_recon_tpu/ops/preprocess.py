@@ -348,6 +348,8 @@ class ProcessedFrames(NamedTuple):
     world: jnp.ndarray       # f32[K, H, W, 3] cv_xyz-unprojected positions
     world_valid: jnp.ndarray  # bool[K, H, W]
     depth_morphed: jnp.ndarray  # f32[K, H, W] meters (morph output)
+    depth_raw: jnp.ndarray   # f32[K, H, W] meters (sensor input; ReconMVT
+                             # filters this itself, recon_mvt.cpp:32)
 
 
 def preprocess(
@@ -374,4 +376,5 @@ def preprocess(
         world=world,
         world_valid=world_valid,
         depth_morphed=morphed,
+        depth_raw=depth_m,
     )
