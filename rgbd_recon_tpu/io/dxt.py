@@ -2,9 +2,10 @@
 
 The reference's recorded streams carry DXT1- or DXT5-compressed color frames
 (NetKinectArray.cpp:118-126) decoded on upload by the GL driver / squish.
-For ``.stream`` replay we decode on the host before ``device_put``. A C++
-SIMD decoder lives in native/ (see rgbd_recon_tpu/io/native.py); this numpy
-path is the always-available fallback and the correctness oracle.
+For ``.stream`` replay we decode on the host before ``device_put``. A
+threaded C++ decoder lives in native/dxt.cpp (ctypes bindings in
+rgbd_recon_tpu/io/native.py, ~20x faster); this numpy path is the
+always-available fallback and the correctness oracle (bit-identical).
 
 Block layout (S3TC): 4x4 texel blocks, row-major over the image.
   DXT1 block (8B):  u16 c0, u16 c1 (RGB565 little-endian), u32 row-major

@@ -47,12 +47,15 @@ class FrameFormat:
         return self.color_size + self.depth_size
 
     def decode_color(self, payload: np.ndarray) -> np.ndarray:
-        """-> f32[Hc, Wc, 3] in [0, 1]."""
+        """-> f32[Hc, Wc, 3] in [0, 1]. Uses the threaded native decoder
+        (io/native.py) when built, numpy otherwise — both bit-identical."""
+        from . import native
+
         if self.compressed_rgb == 1:
-            img = dxt.decode_dxt1(payload, self.width_c, self.height_c)
+            img = native.best_decoder("dxt1")(payload, self.width_c, self.height_c)
         elif self.compressed_rgb == 5:
             # DXT5 at 307200 B covers 640x480 (NetKinectArray.cpp:123)
-            img = dxt.decode_dxt5(payload, 640, 480)
+            img = native.best_decoder("dxt5")(payload, 640, 480)
         else:
             img = payload.reshape(self.height_c, self.width_c, 3)
         return img.astype(np.float32) / 255.0

@@ -94,9 +94,19 @@ def build_pyramid(color: jnp.ndarray, depth: jnp.ndarray, num_lods: int):
 def colorfill(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarray:
     """Resolve pass (tsdf_colorfill.fs:30-55): per pixel take the finest
     non-hole LOD; where that is coarser than LOD 0, blend the two
-    next-coarser LODs bilinearly. Returns [H, W, 4]."""
+    next-coarser LODs bilinearly. Returns [H, W, 4].
+
+    Background handling: the reference separates holes *in front of geometry*
+    (LOD0 depth < 1, marked r=-1 by tsdf_inpaint.fs:59-68) from background
+    (depth == far); it always writes gl_FragDepth from LOD0
+    (tsdf_colorfill.fs:54) so background keeps far depth downstream. Since we
+    return color only (callers keep the renderer's LOD0 depth), background
+    pixels must stay transparent here — only geometry-adjacent holes are
+    filled."""
     h, w = depths[0].shape
     n = len(colors)
+    lod0_hole = colors[0][..., 3] <= 0.0
+    background = lod0_hole & (depths[0] >= 1.0)
 
     # nearest-texel lookups of each LOD at every screen pixel
     ys = jnp.arange(h)
@@ -140,4 +150,7 @@ def colorfill(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarr
     blended = jnp.take_along_axis(blend_stack, first[None, ..., None], axis=0)[0]
 
     out = jnp.where((first > 0)[..., None], blended, base)
+    # background keeps the (transparent) miss pixel; only holes in front of
+    # geometry get filled (see docstring)
+    out = jnp.where(background[..., None], colors[0], out)
     return out

@@ -142,3 +142,26 @@ def test_timer_database_csv(tmp_path):
     assert lines[0] == "2integrate,draw"
     vals = [float(v) for v in lines[1].split(",")]
     assert all(v >= 0.0 for v in vals)
+
+
+def test_native_dxt_matches_numpy():
+    """native/dxt.cpp must be bit-identical to the numpy oracle."""
+    from rgbd_recon_tpu.io import native, dxt as dxt_mod
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 128, 3), np.uint8)
+    payload = dxt_mod.encode_dxt1(img)
+    assert np.array_equal(
+        native.decode_dxt1(payload, 128, 64), dxt_mod.decode_dxt1(payload, 128, 64)
+    )
+    blocks = payload.reshape(-1, 8)
+    p5 = np.concatenate(
+        [np.zeros((len(blocks), 8), np.uint8), blocks], axis=1
+    ).reshape(-1)
+    assert np.array_equal(
+        native.decode_dxt5(p5, 128, 64), dxt_mod.decode_dxt5(p5, 128, 64)
+    )
