@@ -3,57 +3,72 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 
-vs_baseline is against the driver-set target of 30 fps (BASELINE.md — the
-reference publishes no absolute numbers; 30 fps at this config is the
-north star).
+vs_baseline is against the driver-set target of 30 fps at 256^3/4 streams
+(BASELINE.md — the reference publishes no absolute numbers).
+
+The measurement runs on a LADDER of configs (small -> target) in a worker
+thread while the main thread keeps a deadline + signal watch: whatever rung
+last completed is what gets printed, even if the process is interrupted or
+the target config cannot finish compiling inside the window. The metric
+string always states the config the number came from.
 
 Env knobs:
-  BENCH_TSDF=256      volume resolution per axis
-  BENCH_SENSORS=4     stream count
+  BENCH_TSDF=256        target volume resolution per axis
+  BENCH_SENSORS=4       stream count
   BENCH_RENDER=1280x720
   BENCH_ITERS=8
+  BENCH_LADDER=128,256  comma list of rungs (last should equal BENCH_TSDF)
+  BENCH_BUDGET_S=0      self-imposed deadline seconds (0 = none; rely on the
+                        driver's timeout + signal handling)
+  BENCH_TIMED=0         1 = also print per-stage ms (stderr) via step_timed
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
+_best: dict | None = None
+_best_lock = threading.Lock()
+_printed = False
 
-def main() -> None:
-    tsdf_n = int(os.environ.get("BENCH_TSDF", "256"))
-    num_sensors = int(os.environ.get("BENCH_SENSORS", "4"))
-    rw, rh = (int(v) for v in os.environ.get("BENCH_RENDER", "1280x720").split("x"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
 
+def _emit_and_exit(code: int = 0) -> None:
+    """Print the best JSON line exactly once, then hard-exit."""
+    global _printed
+    with _best_lock:
+        if _printed:
+            os._exit(code)
+        _printed = True
+        result = _best or {
+            "metric": "fused frames/sec (no config finished compiling in the window)",
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+        }
+    sys.stderr.flush()
+    print(json.dumps(result), flush=True)
+    os._exit(code)
+
+
+def log(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def bench_rung(tsdf_n: int, num_sensors: int, rw: int, rh: int, iters: int,
+               rig, cams, depth, color, bbox, cache_dir: str, timed: bool) -> dict:
     import jax
+    import jax.numpy as jnp
 
-    # persistent compilation cache: the fused frame program is large; cache
-    # it across bench invocations
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
-
-    from rgbd_recon_tpu.utils.math import Bbox
-    from rgbd_recon_tpu.calibration import synthetic
     from rgbd_recon_tpu.runtime.pipeline import FramePipeline, PipelineConfig
 
-    bbox = Bbox.default()
-    rig, cams = synthetic.synthetic_rig(
-        num_sensors=num_sensors, bbox=bbox,
-        fwd_res=(128, 256, 128),  # reference forward-volume res (CalibVolumes.cpp:19)
-        inv_res=(128, 128, 128),
-        width=512, height=424,    # Kinect v2
-    )
-    scene = synthetic.SphereScene.default(bbox)
-    depth, color = synthetic.render_frames(cams, scene)
-
+    t_rung = time.time()
+    log(f"rung {tsdf_n}^3 / {num_sensors} streams / {rw}x{rh}: building pipeline")
     pipe = FramePipeline(
         rig,
         PipelineConfig(
@@ -63,36 +78,113 @@ def main() -> None:
             brick_size=0.1,
             num_lods=6,
         ),
+        log=log,
+        table_cache_dir=cache_dir,
     )
     mv, proj = pipe.default_camera()
-
-    import jax.numpy as jnp
     d = jnp.asarray(depth)
     c = jnp.asarray(color)
-    mvj = jnp.asarray(mv)
-    pj = jnp.asarray(proj)
-
-    # warmup / compile
-    t0 = time.time()
-    out = pipe.step(d, c, mvj, pj)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    print(f"# compile+first-step: {compile_s:.1f}s", file=sys.stderr)
 
     t0 = time.time()
+    pipe.warmup(d, c, mv, proj)
+    log(f"rung {tsdf_n}: warmup/compile took {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    out = None
     for _ in range(iters):
-        out = pipe.step(d, c, mvj, pj)
+        out = pipe.step(d, c, mv, proj)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
     fps = 1.0 / dt
-    print(f"# steady-state: {dt*1e3:.1f} ms/frame", file=sys.stderr)
+    log(f"rung {tsdf_n}: steady-state {dt*1e3:.1f} ms/frame = {fps:.2f} fps "
+        f"(total rung time {time.time()-t_rung:.0f}s)")
 
-    print(json.dumps({
-        "metric": f"fused frames/sec at {tsdf_n}^3 TSDF from {num_sensors} RGBD streams",
+    if timed:
+        from rgbd_recon_tpu.utils.timers import TimerDatabase
+
+        db = TimerDatabase.instance()
+        pipe.step_timed(d, c, mv, proj)
+        for name in sorted(db.timers):
+            t = db.timers[name]
+            if t.count:
+                log(f"  stage {name}: {t.last*1e3:.2f} ms")
+
+    return {
+        "metric": (
+            f"fused frames/sec at {tsdf_n}^3 TSDF from {num_sensors} RGBD streams"
+            f" ({rw}x{rh} render, 1 chip)"
+        ),
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
-    }))
+    }
+
+
+def worker() -> None:
+    global _best
+    tsdf_target = int(os.environ.get("BENCH_TSDF", "256"))
+    num_sensors = int(os.environ.get("BENCH_SENSORS", "4"))
+    rw, rh = (int(v) for v in os.environ.get("BENCH_RENDER", "1280x720").split("x"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    ladder = [
+        int(v) for v in os.environ.get("BENCH_LADDER", f"128,{tsdf_target}").split(",")
+    ]
+    timed = os.environ.get("BENCH_TIMED", "0") == "1"
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
+    log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    from rgbd_recon_tpu.utils.math import Bbox
+    from rgbd_recon_tpu.calibration import synthetic
+
+    bbox = Bbox.default()
+    log(f"building synthetic {num_sensors}-sensor rig + frames")
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=num_sensors, bbox=bbox,
+        fwd_res=(128, 256, 128),  # reference forward-volume res (CalibVolumes.cpp:19)
+        inv_res=(128, 128, 128),
+        width=512, height=424,    # Kinect v2
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+
+    for tsdf_n in ladder:
+        try:
+            result = bench_rung(
+                tsdf_n, num_sensors, rw, rh, iters,
+                rig, cams, depth, color, bbox, cache_dir, timed,
+            )
+        except Exception as e:  # a failed rung must not lose earlier rungs
+            log(f"rung {tsdf_n} FAILED: {type(e).__name__}: {e}")
+            continue
+        with _best_lock:
+            _best = result
+
+
+def main() -> None:
+    budget = float(os.environ.get("BENCH_BUDGET_S", "0"))
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: _emit_and_exit(0))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    deadline = time.time() + budget if budget > 0 else None
+    # the main thread only sleeps, so signals are handled promptly even while
+    # the worker sits inside a long XLA compile
+    while t.is_alive():
+        if deadline is not None and time.time() > deadline:
+            log("self-imposed budget exceeded; emitting best result")
+            _emit_and_exit(0)
+        time.sleep(0.5)
+    _emit_and_exit(0)
 
 
 if __name__ == "__main__":

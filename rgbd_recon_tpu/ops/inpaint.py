@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .sample import sample2d
+from .warp import resize2d_gl
 
 
 def inpaint_downsample(color: jnp.ndarray, depth: jnp.ndarray):
@@ -108,15 +108,20 @@ def colorfill(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarr
     lod0_hole = colors[0][..., 3] <= 0.0
     background = lod0_hole & (depths[0] >= 1.0)
 
-    # nearest-texel lookups of each LOD at every screen pixel
+    # nearest-texel lookups of each LOD at every screen pixel (exact 2^l
+    # pyramids become repeats — no gather; odd sizes fall back to indexing)
     ys = jnp.arange(h)
     xs = jnp.arange(w)
     per_lod = []
     for l in range(n):
         hl, wl = colors[l].shape[:2]
-        yl = jnp.clip((ys * hl) // h, 0, hl - 1)
-        xl = jnp.clip((xs * wl) // w, 0, wl - 1)
-        per_lod.append(colors[l][yl[:, None], xl[None, :]])
+        if hl << l == h and wl << l == w:
+            img = jnp.repeat(jnp.repeat(colors[l], 1 << l, axis=0), 1 << l, axis=1)
+        else:
+            yl = jnp.clip((ys * hl) // h, 0, hl - 1)
+            xl = jnp.clip((xs * wl) // w, 0, wl - 1)
+            img = colors[l][yl[:, None], xl[None, :]]
+        per_lod.append(img)
     stack = jnp.stack(per_lod)  # [n, H, W, 4]
 
     valid = stack[..., 3] > 0.0
@@ -128,7 +133,8 @@ def colorfill(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarr
     base = jnp.take_along_axis(stack, first[None, ..., None], axis=0)[0]
 
     # blend of lods (first+1, first+2) with the reference's quirky weights
-    # (tsdf_colorfill.fs:42-51: w1 = distance(texcoord, floor(texcoord)))
+    # (tsdf_colorfill.fs:42-51: w1 = distance(texcoord, floor(texcoord))).
+    # Each LOD is upsampled once via matmuls (== sample2d at texel centers)
     uv = jnp.stack(
         jnp.meshgrid(
             (jnp.arange(w, dtype=jnp.float32) + 0.5) / w,
@@ -139,12 +145,13 @@ def colorfill(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarr
     )
     w1 = jnp.linalg.norm(uv, axis=-1)
     w2 = 1.0 - w1
+    upsampled = [resize2d_gl(c, (h, w)) for c in colors]
     blends = []
     for l in range(n):
         l1 = min(l + 1, n - 1)
         l2 = min(l + 2, n - 1)
-        c1 = sample2d(colors[l1], uv)
-        c2 = sample2d(colors[l2], uv)
+        c1 = upsampled[l1]
+        c2 = upsampled[l2]
         blends.append((c1 * w1[..., None] + c2 * w2[..., None]) / (w1 + w2)[..., None])
     blend_stack = jnp.stack(blends)
     blended = jnp.take_along_axis(blend_stack, first[None, ..., None], axis=0)[0]

@@ -19,6 +19,15 @@ Everything operates on stacked ``[K, H, W]`` arrays (K sensors = leading batch
 axis) with edge-clamped stencil windows — the GL CLAMP_TO_EDGE equivalent.
 Each stage is a pure function; ``preprocess()`` chains them and is designed to
 be jitted as one fused program (optionally vmapped/sharded over sensors).
+
+TPU structure: calibration lookups go through the gather-free PixelWarp
+(ops/warp.py — affine-in-depth FMA per pixel, exact for the piecewise-linear
+cv volumes of pinhole rigs); color registration uses the blocked matmul
+sampler. Passing ``warp=None`` falls back to per-pixel 3D gathers
+(ops/sample.sample3d) — the reference-faithful oracle the warp paths are
+parity-tested against. The big stencils (13x13 bilateral + quality) run as a
+``lax.scan`` over stencil rows: same fused arithmetic, ~13x smaller HLO (the
+fully unrolled version compiled for minutes).
 """
 from __future__ import annotations
 
@@ -30,6 +39,7 @@ import jax.numpy as jnp
 
 from .colors import rgb_to_lab
 from .sample import sample2d, sample3d, pixel_texcoords
+from .warp import PixelWarp, sample2d_blocked
 from ..calibration.rig import RigCalibration
 
 # Kinect-v2 raw validity window in meters (pre_morph.fs:32-33)
@@ -121,6 +131,7 @@ def bilateral_lab(
     color: jnp.ndarray,
     rig: RigCalibration,
     cfg: PreprocessConfig = PreprocessConfig(),
+    warp: PixelWarp | None = None,
 ):
     """pre_depth.fs main: returns (depth2 [K,H,W,2] = (depth_norm, w_range/n),
     color_lab [K,H,W,3], color_registered [K,H,W,3] — the depth-registered
@@ -135,7 +146,10 @@ def bilateral_lab(
     cv_max = rig.depth_limits[:, 1][:, None, None]
 
     depth_norm = (depth_m - cv_min) / (cv_max - cv_min)  # pre_depth.fs:78-80
-    pos_world = _sample_cv_per_pixel(rig.cv_xyz, depth_norm, uv)
+    if warp is not None:
+        pos_world = warp.xyz(depth_norm)
+    else:
+        pos_world = _sample_cv_per_pixel(rig.cv_xyz, depth_norm, uv)
     in_box = (
         jnp.all(pos_world >= rig.bbox_min, axis=-1)
         & jnp.all(pos_world <= rig.bbox_max, axis=-1)
@@ -143,8 +157,18 @@ def bilateral_lab(
 
     # color: cv_uv at clamped depth (pre_depth.fs:136), then the color image
     d_for_color = jnp.where((depth_norm <= 0.0) | (depth_norm >= 1.0), 1.0, depth_norm)
-    coords_c = _sample_cv_per_pixel(rig.cv_uv, d_for_color, uv)
-    color_rgb = jax.vmap(sample2d)(color, coords_c)
+    hc, wc = color.shape[1], color.shape[2]
+    if warp is not None:
+        coords_c = warp.uv(d_for_color)
+    else:
+        coords_c = _sample_cv_per_pixel(rig.cv_uv, d_for_color, uv)
+    if warp is not None and h % 8 == 0 and w % 32 == 0:
+        wnd = (min(96, hc), min(128, wc))
+        color_rgb = jax.vmap(
+            lambda im, co: sample2d_blocked(im, co, tile=(8, 32), window=wnd)
+        )(color, coords_c)
+    else:
+        color_rgb = jax.vmap(sample2d)(color, coords_c)
     color_lab = rgb_to_lab(color_rgb)
 
     if not cfg.filter_textures:
@@ -152,28 +176,36 @@ def bilateral_lab(
         lat = jnp.where(in_box, 1.0, 0.0)
         return jnp.stack([dn, lat], axis=-1), color_lab, color_rgb
 
-    # 13x13 bilateral on meters depth (pre_depth.fs:85-127, kernel_size=6)
+    # 13x13 bilateral on meters depth (pre_depth.fs:85-127, kernel_size=6),
+    # scanned over stencil rows (columns stay unrolled for fusion)
     ks = 6
     n_samples = float((2 * ks + 1) ** 2)
     dist_range_max = 0.35 * (depth_m / MAX_DEPTH_M)  # pre_depth.fs:89-92
     padded = _pad_edge(depth_m, ks)
-    depth_bf = jnp.zeros_like(depth_m)
-    w_acc = jnp.zeros_like(depth_m)
-    w_range = jnp.zeros_like(depth_m)
-    for dy in range(-ks, ks + 1):
+
+    def row_body(carry, dy_idx):
+        depth_bf, w_acc, w_range = carry
+        row = jax.lax.dynamic_slice(padded, (0, dy_idx, 0), (kk, h, w + 2 * ks))
+        dyf = dy_idx.astype(jnp.float32) - ks
         for dx in range(-ks, ks + 1):
-            s = _shifted(padded, dy, dx, h, w, ks)
+            s = jax.lax.slice(row, (0, 0, dx + ks), (kk, h, dx + ks + w))
             dist = jnp.abs(s - depth_m)
             outside = (s < cv_min) | (s > cv_max)
             accept = (~outside) & (dist <= dist_range_max)
             # NOTE gauss_space goes negative for |offset| > 6 px — the
             # reference keeps those corner weights (pre_depth.fs:38-41)
-            gs = 1.0 - math.hypot(dx, dy) / ks
+            gs = 1.0 - jnp.sqrt(jnp.float32(dx * dx) + dyf * dyf) / ks
             gr = 1.0 - jnp.minimum(dist, dist_range_max) / dist_range_max
             ws = gs * gr
             depth_bf = depth_bf + jnp.where(accept, ws * s, 0.0)
             w_acc = w_acc + jnp.where(accept, ws, 0.0)
             w_range = w_range + jnp.where(accept, gr, 0.0)
+        return (depth_bf, w_acc, w_range), None
+
+    zeros = jnp.zeros_like(depth_m)
+    (depth_bf, w_acc, w_range), _ = jax.lax.scan(
+        row_body, (zeros, zeros, zeros), jnp.arange(2 * ks + 1)
+    )
 
     filtered = depth_bf / jnp.where(w_acc != 0.0, w_acc, 1.0)
     filtered = jnp.where(w_acc != 0.0, filtered, 0.0)  # guard the 0/0 the GL code leaves as NaN
@@ -234,7 +266,8 @@ def boundary(
 # normals
 
 
-def normals(depth_b: jnp.ndarray, rig: RigCalibration):
+def normals(depth_b: jnp.ndarray, rig: RigCalibration,
+            warp: PixelWarp | None = None):
     """pre_normal.fs: world-space normals from cv_xyz-warped central
     differences. Returns (normals [K,H,W,3], world_pos [K,H,W,3], valid mask)
     — world_pos/valid feed brick marking (pre_normal.fs:32-33)."""
@@ -255,25 +288,36 @@ def normals(depth_b: jnp.ndarray, rig: RigCalibration):
     d_l = neighbor(0, -1)
     d_r = neighbor(0, 1)
 
-    uv_t = uv + jnp.array([0.0, 1.0 / h], jnp.float32)
-    uv_b = uv - jnp.array([0.0, 1.0 / h], jnp.float32)
-    uv_l = uv - jnp.array([1.0 / w, 0.0], jnp.float32)
-    uv_r = uv + jnp.array([1.0 / w, 0.0], jnp.float32)
+    if warp is not None:
+        # a one-pixel texcoord shift lands exactly on the neighbor pixel's
+        # center (edge rows clamp like CLAMP_TO_EDGE), so the neighbor
+        # lookups are array shifts of the baked warp
+        world_c = warp.xyz(dn)
+        world_t = warp.xyz_shifted(1, 0, d_t)
+        world_b = warp.xyz_shifted(-1, 0, d_b)
+        world_l = warp.xyz_shifted(0, -1, d_l)
+        world_r = warp.xyz_shifted(0, 1, d_r)
+    else:
+        uv_t = uv + jnp.array([0.0, 1.0 / h], jnp.float32)
+        uv_b = uv - jnp.array([0.0, 1.0 / h], jnp.float32)
+        uv_l = uv - jnp.array([1.0 / w, 0.0], jnp.float32)
+        uv_r = uv + jnp.array([1.0 / w, 0.0], jnp.float32)
 
-    def cv_at(uv_grid, d):
-        def per_sensor(vol, dd):
-            coords = jnp.concatenate(
-                [jnp.broadcast_to(uv_grid, dd.shape + (2,)), dd[..., None]], axis=-1
-            )
-            return sample3d(vol, coords)
+        def cv_at(uv_grid, d):
+            def per_sensor(vol, dd):
+                coords = jnp.concatenate(
+                    [jnp.broadcast_to(uv_grid, dd.shape + (2,)), dd[..., None]],
+                    axis=-1,
+                )
+                return sample3d(vol, coords)
 
-        return jax.vmap(per_sensor)(rig.cv_xyz, d)
+            return jax.vmap(per_sensor)(rig.cv_xyz, d)
 
-    world_c = cv_at(uv, dn)
-    world_t = cv_at(uv_t, d_t)
-    world_b = cv_at(uv_b, d_b)
-    world_l = cv_at(uv_l, d_l)
-    world_r = cv_at(uv_r, d_r)
+        world_c = cv_at(uv, dn)
+        world_t = cv_at(uv_t, d_t)
+        world_b = cv_at(uv_b, d_b)
+        world_l = cv_at(uv_l, d_l)
+        world_r = cv_at(uv_r, d_r)
 
     n = jnp.cross(world_b - world_t, world_l - world_r)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
@@ -290,6 +334,7 @@ def quality(
     depth_b: jnp.ndarray,
     normal_map: jnp.ndarray,
     rig: RigCalibration,
+    warp: PixelWarp | None = None,
 ) -> jnp.ndarray:
     """pre_quality.fs ``bilateral_filter``: per-pixel fusion weight
     (1-border_frac)^6 * (w_range/n)^6 / (6.5*d) * angle^2 (:107-114)."""
@@ -301,11 +346,12 @@ def quality(
     dist_range_max = 0.35 * dn  # normalized depth, max_depth=1 (:72-75)
 
     padded = _pad_edge(dn, ks)
-    border = jnp.zeros_like(dn)
-    w_range = jnp.zeros_like(dn)
-    for dyy in range(-ks, ks + 1):
+
+    def row_body(carry, dy_idx):
+        border, w_range = carry
+        row = jax.lax.dynamic_slice(padded, (0, dy_idx, 0), (kk, h, w + 2 * ks))
         for dxx in range(-ks, ks + 1):
-            s = _shifted(padded, dyy, dxx, h, w, ks)
+            s = jax.lax.slice(row, (0, 0, dxx + ks), (kk, h, dxx + ks + w))
             dist = jnp.abs(s - dn)
             s_out = (s <= 0.0) | (s >= 1.0)
             reject = s_out | (dist > dist_range_max)
@@ -314,6 +360,12 @@ def quality(
             )
             border = border + reject.astype(dn.dtype)
             w_range = w_range + jnp.where(reject, 0.0, gr)
+        return (border, w_range), None
+
+    zeros = jnp.zeros_like(dn)
+    (border, w_range), _ = jax.lax.scan(
+        row_body, (zeros, zeros), jnp.arange(2 * ks + 1)
+    )
 
     lateral_q = 1.0 - border / n_samples
     strong = lateral_q**6 * (w_range / n_samples) ** 6
@@ -321,7 +373,10 @@ def quality(
 
     # normal_angle (:43-48)
     uv = pixel_texcoords(h, w)
-    world_pos = _sample_cv_per_pixel(rig.cv_xyz, dn, uv)
+    if warp is not None:
+        world_pos = warp.xyz(dn)
+    else:
+        world_pos = _sample_cv_per_pixel(rig.cv_xyz, dn, uv)
     to_cam = rig.camera_positions[:, None, None, :] - world_pos
     to_cam = to_cam / jnp.maximum(jnp.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-20)
     angle = jnp.sum(to_cam * normal_map, axis=-1)
@@ -357,14 +412,18 @@ def preprocess(
     color: jnp.ndarray,
     rig: RigCalibration,
     cfg: PreprocessConfig = PreprocessConfig(),
+    warp: PixelWarp | None = None,
 ) -> ProcessedFrames:
-    """Full preprocessing chain (NetKinectArray::processTextures order)."""
+    """Full preprocessing chain (NetKinectArray::processTextures order).
+
+    ``warp``: baked PixelWarp for gather-free calibration lookups (pass
+    ops.warp.bake_pixel_warp(rig, H, W)); None = exact gather oracle."""
     morphed = morph_dilate(depth_m)
     feed = morphed if cfg.use_processed_depth else depth_m
-    depth2, color_lab, color_reg = bilateral_lab(feed, color, rig, cfg)
+    depth2, color_lab, color_reg = bilateral_lab(feed, color, rig, cfg, warp)
     depth_b, sil = boundary(depth2, color_lab, cfg)
-    nrm, world, world_valid = normals(depth_b, rig)
-    qual = quality(depth_b, nrm, rig)
+    nrm, world, world_valid = normals(depth_b, rig, warp)
+    qual = quality(depth_b, nrm, rig, warp)
     return ProcessedFrames(
         depth=depth_b,
         silhouette=sil,

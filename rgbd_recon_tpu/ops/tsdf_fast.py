@@ -88,6 +88,39 @@ def precompute_tables(rig: RigCalibration, cfg: TsdfConfig) -> IntegrationTables
     return IntegrationTables(pos_calib=pos)
 
 
+def tables_cached(
+    rig: RigCalibration, cfg: TsdfConfig, cache_dir: str | None = None
+) -> IntegrationTables:
+    """``precompute_tables`` with an optional on-disk cache.
+
+    The baked warp table is pure function of (cv_xyz_inv, volume res) — at
+    256^3 x 4 sensors it is ~800 MB and costs several device ops to build, so
+    benchmark/app runs key it by content hash and memoize it under
+    ``cache_dir`` (e.g. the repo's .jax_cache next to XLA's own cache)."""
+    if cache_dir is None:
+        return precompute_tables(rig, cfg)
+    import hashlib
+    import os
+
+    src = np.asarray(rig.cv_xyz_inv)
+    key = hashlib.sha1(
+        src.tobytes() + repr(tuple(cfg.res)).encode()
+    ).hexdigest()[:16]
+    path = os.path.join(cache_dir, f"warp-{key}.npy")
+    try:
+        if os.path.exists(path):
+            return IntegrationTables(pos_calib=jnp.asarray(np.load(path, mmap_mode="r")))
+    except Exception:
+        pass
+    tables = precompute_tables(rig, cfg)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(path, np.asarray(tables.pos_calib))
+    except Exception:
+        pass
+    return tables
+
+
 def pack_frames(frames: ProcessedFrames) -> jnp.ndarray:
     """f32[K, H, W, 6]: depth | quality | silhouette | registered rgb."""
     return jnp.concatenate(

@@ -1,0 +1,208 @@
+"""Pixel-warp tables: gather-free calibration lookups.
+
+The reference samples per-sensor 3D lookup volumes per fragment through GPU
+texture units (cv_xyz / cv_uv at (u, v, d) — pre_depth.fs:133-136,
+pre_normal.fs:26-60, pre_quality.fs:43-48). On TPU those scattered trilinear
+fetches serialize and dominated the frame (measured ~95% of preprocess time).
+But the sampled coordinate is always (u_pixel, v_pixel, d): the SPATIAL part
+is the fixed pixel-center grid — only depth varies per frame. Therefore:
+
+  bake:    slab[k, d, y, x, c] = bilinear_spatial(cv[k, d], pixel_centers)
+  runtime: trilinear(cv[k], (u, v, d))  ==  lerp along d of slab[k, :, y, x]
+
+(trilinear interpolation is separable). And when every slab column is AFFINE
+in d the lerp collapses further to
+
+  value[k, y, x, c] = A[k, y, x, c] + clamp(d) * B[k, y, x, c]
+
+— one fused multiply-add, zero gathers. Affinity holds exactly for pinhole
+camera models (cv_xyz is a ray: origin + d * direction per pixel) and is
+MEASURED at bake time on the raw cv grid: because spatial interpolation is a
+convex combination, the post-resize residual is bounded by the raw-grid
+residual, so the check is cheap. If the residual exceeds ``tol`` the baked
+A/B stay least-squares-optimal and ``max_err`` reports the bound — callers
+can then fall back to the exact gather path (ops/sample.sample3d).
+
+GL border semantics: sampling clamps the d coordinate to the first/last
+texel center, so runtime clamps d to [0.5/Dz, 1-0.5/Dz] before the FMA —
+out-of-range depths read the boundary slab exactly like CLAMP_TO_EDGE.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _gl_resize_weights_np(n_src: int, n_dst: int) -> np.ndarray:
+    """[n_dst, n_src] hat weights with GL half-texel semantics (the numpy
+    twin of tsdf_fast._gl_resize_weights)."""
+    t = (np.arange(n_dst, dtype=np.float64) + 0.5) / n_dst
+    c = np.clip(t * n_src - 0.5, 0.0, n_src - 1)
+    i = np.arange(n_src, dtype=np.float64)
+    w = np.clip(1.0 - np.abs(c[:, None] - i[None, :]), 0.0, 1.0)
+    w = w / w.sum(axis=1, keepdims=True)
+    return w.astype(np.float32)
+
+
+class PixelWarp(NamedTuple):
+    """Per-pixel affine-in-depth calibration warp for one rig at one
+    (H, W) pixel grid. All arrays f32."""
+
+    xyz_a: jnp.ndarray   # [K, H, W, 3]
+    xyz_b: jnp.ndarray   # [K, H, W, 3]
+    uv_a: jnp.ndarray    # [K, H, W, 2]
+    uv_b: jnp.ndarray    # [K, H, W, 2]
+    d_min: float         # clamp range along d (GL half-texel centers)
+    d_max: float
+    max_err_xyz: float   # bake-time affinity residual bounds (raw cv grid)
+    max_err_uv: float
+
+    def xyz(self, d: jnp.ndarray) -> jnp.ndarray:
+        """cv_xyz lookup at per-pixel depth d [K, H, W] -> [K, H, W, 3]."""
+        dc = jnp.clip(d, self.d_min, self.d_max)[..., None]
+        return self.xyz_a + dc * self.xyz_b
+
+    def uv(self, d: jnp.ndarray) -> jnp.ndarray:
+        """cv_uv lookup at per-pixel depth d [K, H, W] -> [K, H, W, 2]."""
+        dc = jnp.clip(d, self.d_min, self.d_max)[..., None]
+        return self.uv_a + dc * self.uv_b
+
+    def xyz_shifted(self, dy: int, dx: int, d: jnp.ndarray) -> jnp.ndarray:
+        """cv_xyz at the pixel grid shifted by (dy, dx) pixels — the
+        neighbor taps of pre_normal.fs. A shifted texcoord lands exactly on
+        the neighbor pixel's center (edge rows clamp to the border center,
+        CLAMP_TO_EDGE), so this is an edge-padded array shift of A/B."""
+        a = _shift2d(self.xyz_a, dy, dx)
+        b = _shift2d(self.xyz_b, dy, dx)
+        dc = jnp.clip(d, self.d_min, self.d_max)[..., None]
+        return a + dc * b
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-clamped shift of [K, H, W, C] by (dy, dx) pixels: out[y, x] =
+    x[clamp(y+dy), clamp(x+dx)]."""
+    k, h, w, c = x.shape
+    py1, px1 = max(-dy, 0), max(-dx, 0)
+    pad = jnp.pad(
+        x, ((0, 0), (py1, max(dy, 0)), (px1, max(dx, 0)), (0, 0)), mode="edge"
+    )
+    return pad[:, py1 + dy : py1 + dy + h, px1 + dx : px1 + dx + w, :]
+
+
+def bake_pixel_warp(rig, height: int, width: int) -> PixelWarp:
+    """Bake A/B warp images for ``rig`` at an (H, W) depth-pixel grid.
+
+    Least-squares affine fit along the d axis on the raw cv grid (closed
+    form), then GL-exact separable spatial resize of the A/B coefficient
+    planes to pixel centers. Residuals are the max |cv - (A + dB)| over the
+    raw grid — an upper bound for the resized warp (convexity).
+    """
+    xyz = np.asarray(rig.cv_xyz, np.float64)  # [K, Dz, Dy, Dx, 3]
+    uv = np.asarray(rig.cv_uv, np.float64)    # [K, Dz, Dy, Dx, 2]
+    dz = xyz.shape[1]
+    t = (np.arange(dz, dtype=np.float64) + 0.5) / dz  # texel-center d coords
+    tm = t.mean()
+    tv = ((t - tm) ** 2).sum()
+
+    def fit(vol):
+        # per-column least squares over the d axis
+        m = vol.mean(axis=1)                                   # [K, Dy, Dx, C]
+        b = np.einsum("d,kdyxc->kyxc", t - tm, vol) / tv
+        a = m - b * tm
+        resid = np.abs(vol - (a[:, None] + t[None, :, None, None, None] * b[:, None]))
+        return a, b, float(resid.max())
+
+    xyz_a, xyz_b, err_xyz = fit(xyz)
+    uv_a, uv_b, err_uv = fit(uv)
+
+    # GL-exact spatial resize of the coefficient planes to pixel centers
+    dy_, dx_ = xyz.shape[2], xyz.shape[3]
+    wy = _gl_resize_weights_np(dy_, height)
+    wx = _gl_resize_weights_np(dx_, width)
+
+    def resize(p):
+        p = np.einsum("Yy,kyxc->kYxc", wy, p)
+        p = np.einsum("Xx,kYxc->kYXc", wx, p)
+        # host numpy on purpose: the bake may run inside a jit trace (lazy
+        # per-shape baking) and cached jnp constants would leak tracers
+        return p.astype(np.float32)
+
+    return PixelWarp(
+        xyz_a=resize(xyz_a), xyz_b=resize(xyz_b),
+        uv_a=resize(uv_a), uv_b=resize(uv_b),
+        d_min=0.5 / dz, d_max=1.0 - 0.5 / dz,
+        max_err_xyz=err_xyz, max_err_uv=err_uv,
+    )
+
+
+def resize2d_gl(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """GL-LINEAR resize of [h, w, C] to out_hw via two hat-weight matmuls —
+    identical to ``sample2d(img, texel_center_grid)`` but on the MXU instead
+    of per-pixel gathers (the colorfill resolve upsamples every LOD to full
+    resolution, tsdf_colorfill.fs:42-51)."""
+    h2, w2 = out_hw
+    wh = jnp.asarray(_gl_resize_weights_np(img.shape[0], h2))
+    ww = jnp.asarray(_gl_resize_weights_np(img.shape[1], w2))
+    t = jnp.einsum("Hh,hwc->Hwc", wh, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("Ww,Hwc->HWc", ww, t, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# blocked 2D sampling (registered color)
+
+
+def sample2d_blocked(
+    img: jnp.ndarray,
+    coords: jnp.ndarray,
+    tile: tuple[int, int] = (16, 32),
+    window: tuple[int, int] = (96, 128),
+) -> jnp.ndarray:
+    """GL-LINEAR 2D sampling via per-tile windows + hat-weight matmuls.
+
+    ``img`` f32[Hc, Wc, C]; ``coords`` f32[H, W, 2] texcoords in [0, 1]
+    (x, y order like ops.sample.sample2d). The registration map is smooth, so
+    a tile of output pixels touches a bounded window of the source image: one
+    dynamic window fetch per tile replaces per-pixel gathers, and the
+    bilinear taps become two small matmuls per tile (the MXU gather trick —
+    same construction as tsdf_fast.sample_brick). Falls back to clamped
+    window-edge values if a tile's true footprint overflows ``window``
+    (callers size the window from the rig's registration geometry).
+    """
+    hc, wc, cch = img.shape
+    h, w, _ = coords.shape
+    ty, tx = tile
+    wh, ww = window
+    assert h % ty == 0 and w % tx == 0, (h, w, tile)
+    nty, ntx = h // ty, w // tx
+    p = ty * tx
+
+    # pixel-space sample positions (GL LINEAR: t*N - 0.5, clamped)
+    fx = jnp.clip(coords[..., 0] * wc - 0.5, 0.0, wc - 1.0)
+    fy = jnp.clip(coords[..., 1] * hc - 0.5, 0.0, hc - 1.0)
+    fx = fx.reshape(nty, ty, ntx, tx).transpose(0, 2, 1, 3).reshape(-1, p)
+    fy = fy.reshape(nty, ty, ntx, tx).transpose(0, 2, 1, 3).reshape(-1, p)
+
+    # per-tile window origin centered on the footprint
+    x_mid = (jnp.min(fx, axis=1) + jnp.max(fx, axis=1)) * 0.5
+    y_mid = (jnp.min(fy, axis=1) + jnp.max(fy, axis=1)) * 0.5
+    x0 = jnp.clip(jnp.floor(x_mid).astype(jnp.int32) - ww // 2, 0, max(wc - ww, 0))
+    y0 = jnp.clip(jnp.floor(y_mid).astype(jnp.int32) - wh // 2, 0, max(hc - wh, 0))
+
+    def per_tile(fx_t, fy_t, x0_t, y0_t):
+        wnd = jax.lax.dynamic_slice(img, (y0_t, x0_t, 0), (wh, ww, cch))
+        ry = jnp.clip(fy_t - y0_t, 0.0, wh - 1.0)
+        rx = jnp.clip(fx_t - x0_t, 0.0, ww - 1.0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (p, wh), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (p, ww), 1)
+        wyh = jnp.clip(1.0 - jnp.abs(ry[:, None] - iy), 0.0, 1.0)   # [p, wh]
+        wxh = jnp.clip(1.0 - jnp.abs(rx[:, None] - ix), 0.0, 1.0)   # [p, ww]
+        t = jnp.dot(wyh, wnd.reshape(wh, ww * cch),
+                    preferred_element_type=jnp.float32).reshape(p, ww, cch)
+        return jnp.einsum("pwc,pw->pc", t, wxh, preferred_element_type=jnp.float32)
+
+    out = jax.vmap(per_tile)(fx, fy, x0, y0)      # [T, p, C]
+    out = out.reshape(nty, ntx, ty, tx, cch).transpose(0, 2, 1, 3, 4)
+    return out.reshape(h, w, cch)

@@ -1,0 +1,78 @@
+"""Sharded offline replay — throughput-parallel reconstruction of recorded
+sequences (BASELINE config 5).
+
+The reference's only batch mode is single-sequence `.stream` file replay
+(NetKinectArray.cpp:709-749). The TPU-native scale-out story is
+sequence-level data parallelism: a BATCH of recorded sequences is
+reconstructed simultaneously, the batch axis sharded across the device mesh
+(pure DP — zero inter-device communication per frame; each device holds 1/n
+of the batch and runs the full brick-sparse fast path on its share). Across
+hosts, sequences are range-partitioned per process and fed from per-host
+input pipelines; device collectives stay on ICI, host coordination on DCN
+via jax.distributed (see ``partition_sequences``).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharding import make_mesh
+
+
+class ReplayDriver:
+    """Batched data-parallel frame stepping over a device mesh.
+
+    ``pipe``: a FramePipeline (its pure ``_step_impl`` is vmapped over the
+    sequence batch). The batch size should be a multiple of the mesh size.
+    """
+
+    def __init__(self, pipe, mesh: Mesh | None = None):
+        self.pipe = pipe
+        self.mesh = mesh or make_mesh()
+        batched = NamedSharding(self.mesh, P("shard"))
+        repl = NamedSharding(self.mesh, P())
+
+        def step(depth_b, color_b, modelview, proj):
+            # fixed sweep axis across the batch: offline replay renders a
+            # fixed novel-view camera (axis variants would shape-split the
+            # batch); axis 2 matches the default camera
+            return pipe._step_impl(depth_b, color_b, modelview, proj, 2, False)
+
+        self._step = jax.jit(
+            jax.vmap(step, in_axes=(0, 0, None, None)),
+            in_shardings=(batched, batched, repl, repl),
+        )
+
+    def step(self, depth_b, color_b, modelview, proj):
+        """depth_b f32[B, K, H, W]; color_b f32[B, K, Hc, Wc, 3];
+        shared camera. Returns a batched FrameOutput (leading B axis,
+        sharded over the mesh)."""
+        return self._step(
+            jnp.asarray(depth_b), jnp.asarray(color_b),
+            jnp.asarray(modelview), jnp.asarray(proj),
+        )
+
+    def run(self, readers: Sequence, modelview, proj, num_frames: int | None = None):
+        """Replay a batch of StreamReaders in lockstep; yields per-frame
+        batched FrameOutput. ``num_frames`` defaults to the shortest
+        sequence."""
+        n = num_frames if num_frames is not None else min(len(r) for r in readers)
+        for _ in range(n):
+            frames = [r.read() for r in readers]
+            depth_b = np.stack([f[0] for f in frames])
+            color_b = np.stack([f[1] for f in frames])
+            yield self.step(depth_b, color_b, modelview, proj)
+
+
+def partition_sequences(paths: Sequence[str], process_index: int | None = None,
+                        num_processes: int | None = None) -> list[str]:
+    """Range-partition sequence paths across hosts (multi-host DCN replay:
+    call jax.distributed.initialize() first; each host feeds only its share
+    and the device mesh spans all hosts)."""
+    pi = jax.process_index() if process_index is None else process_index
+    np_ = jax.process_count() if num_processes is None else num_processes
+    return [p for i, p in enumerate(paths) if i % np_ == pi]

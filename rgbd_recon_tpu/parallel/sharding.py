@@ -2,27 +2,42 @@
 
 The reference has no distributed compute (SURVEY.md §2.4): its only
 parallelism is GPU data-parallel shader passes plus a ZMQ ingest thread. The
-TPU-native scaling story is therefore defined here from scratch:
+TPU-native scaling story is defined here from scratch:
 
-* preprocessing is data-parallel over sensors (K axis) — each device filters
-  its sensor subset; no communication
-* TSDF integration shards the voxel grid along its z-axis — every voxel
-  update only reads (replicated) sensor images, so no communication either
-* the raymarch shards screen rows; sampling the (sharded) TSDF across shard
-  boundaries makes XLA all-gather the volume over ICI — acceptable because
-  the volume is small relative to ICI bandwidth, and the alternative
-  (halo-exchanged sweeps) lands in the Pallas fast path later
+* preprocessing is data-parallel over sensors (K axis) when K divides the
+  mesh — each device filters its sensor subset, no communication
+* TSDF integration shards the voxel grid along its z axis: the dense
+  voxel-parallel integration (ops/tsdf.integrate) is elementwise over voxels,
+  so a z-shard constraint on the volume makes every device compute ONLY its
+  slab (1/n compute + 1/n memory), reading the (replicated or
+  sensor-sharded) frames — XLA inserts the all-gather of frames if they were
+  sensor-sharded
+* the raymarch reads the whole volume (rays cross slabs), so XLA all-gathers
+  the z-sharded volume over ICI; screen rows are sharded for the march itself
 
-``sharded_step`` wraps a FramePipeline's pure step with in/out sharding
-constraints on a 1-D mesh; it is what ``__graft_entry__.dryrun_multichip``
-exercises on a virtual device mesh and what the offline replay driver uses on
-real slices (parallel/replay.py).
+``sharded_step`` builds this as an explicitly-constrained jitted step (the
+constraints sit INSIDE the computation, so XLA partitions the producing ops
+— not compute-replicated-then-resharded). It is what
+``__graft_entry__.dryrun_multichip`` exercises on a virtual device mesh and
+what parallel/replay.py uses for sequence-parallel offline replay.
+
+The brick-sparse fast path (ops/tsdf_fast) stays single-chip for now: its
+occupied-brick scan with dynamic volume updates does not partition cleanly;
+one chip already holds a 256^3 volume comfortably, so multi-chip is about
+throughput (replay batches, parallel/replay.py) rather than capacity.
 """
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import preprocess as pp
+from ..ops import bricks as brick_ops
+from ..ops import tsdf as tsdf_ops
+from ..ops import raymarch as rm
+from ..ops import inpaint
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -32,26 +47,80 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def sharded_step(pipe, mesh: Mesh):
-    """Jit a FramePipeline step with volume-z / sensor shardings on ``mesh``.
+    """Jit a dense (voxel-parallel) frame step with real volume-z / sensor
+    shardings on ``mesh``. ``pipe`` supplies rig + config.
 
-    Inputs stay replicated (host feeds every chip its frames — they are small
-    vs the volume); intermediate shardings are driven by constraints inside
-    the step via with_sharding_constraint.
-    """
-    repl = NamedSharding(mesh, P())
+    Returns f(depth, color, modelview, proj) -> FrameOutput with out.tsdf
+    left z-sharded across the mesh (callers keep slabs distributed)."""
+    from ..runtime.pipeline import FrameOutput
 
-    def step(depth_m, color, modelview, proj):
-        out = pipe._step_impl(depth_m, color, modelview, proj)
-        # keep the big volumes sharded along z so no single device must hold
-        # them; everything else is replicated
-        tsdf = jax.lax.with_sharding_constraint(
-            out.tsdf, NamedSharding(mesh, P("shard", None, None))
+    cfg = pipe.cfg
+    rig = pipe.rig
+    n = int(np.prod([d for d in mesh.devices.shape]))
+
+    def constrain(x, spec):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def step(depth_m, color, modelview, proj) -> FrameOutput:
+        k = depth_m.shape[0]
+        if k % n == 0:
+            # sensor-parallel preprocessing
+            depth_m = constrain(depth_m, P("shard"))
+            color = constrain(color, P("shard"))
+        warp = pipe._get_warp(depth_m.shape[1], depth_m.shape[2])
+        frames = pp.preprocess(depth_m, color, rig, pipe.pre_cfg, warp)
+
+        vox_mask = None
+        mask = None
+        occupied = jnp.float32(1.0)
+        if cfg.use_bricks:
+            counts = brick_ops.mark_bricks(
+                frames.world, frames.world_valid, pipe.brick_grid
+            )
+            mask = brick_ops.occupancy_mask(counts, cfg.min_voxels_per_brick)
+            vox_mask = brick_ops.voxel_occupancy(
+                mask, pipe.brick_grid, pipe.tsdf_cfg.res
+            )
+            occupied = brick_ops.occupied_ratio(mask)
+
+        # z-sharded dense integration: each device computes its voxel slab
+        vol = tsdf_ops.integrate(frames, rig, pipe.tsdf_cfg, voxel_mask=vox_mask)
+        vol = constrain(vol, P("shard", None, None))
+        cvol = tsdf_ops.integrate_colors(
+            frames, rig, pipe.tsdf_cfg, voxel_mask=vox_mask
         )
-        return out._replace(tsdf=tsdf)
+        cvol = constrain(cvol, P("shard", None, None, None))
 
+        cam = rm.RenderCamera(modelview, proj, cfg.render_width, cfg.render_height)
+        bsz_vol = pipe.brick_grid.brick_size / float(np.max(pipe.bbox.size))
+        out = rm.render(
+            vol, cvol, frames, rig, cam, pipe.bbox, pipe.tsdf_cfg.limit,
+            rm.RenderParams(shade_mode=cfg.shade_mode),
+            brick_mask=mask if (cfg.skip_space and cfg.use_bricks) else None,
+            brick_size_vol=bsz_vol,
+        )
+        # row-sharded image-space work (march reads the volume across slabs
+        # -> XLA all-gathers it; the per-ray march itself is row-parallel)
+        color_out = constrain(out.color, P("shard", None, None))
+        if cfg.fill_holes:
+            pyr_c, pyr_d = inpaint.build_pyramid(color_out, out.depth, cfg.num_lods)
+            color_out = inpaint.colorfill(pyr_c, pyr_d)
+            color_out = constrain(color_out, P("shard", None, None))
+
+        return FrameOutput(
+            color=color_out,
+            depth=out.depth,
+            hit=out.hit,
+            tsdf=vol,
+            occupied_ratio=occupied,
+            num_samples=out.num_samples,
+        )
+
+    repl = NamedSharding(mesh, P())
     return jax.jit(
         step,
         in_shardings=(repl, repl, repl, repl),
+        out_shardings=None,  # propagate: tsdf stays z-sharded
     )
 
 

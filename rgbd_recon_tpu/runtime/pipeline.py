@@ -2,16 +2,35 @@
 
 The TPU equivalent of the reference's per-frame hot path
 (kinect_client.cpp:580-614 ``draw3d``): update -> preprocess -> brick
-occupancy -> TSDF integrate -> raymarch draw -> hole fill — but expressed as
-ONE jitted pure function of (depth, color, camera), so XLA fuses the whole
-frame into a single device program with no host round-trips (the reference
-needs a GPU->CPU occupancy readback per frame, recon_integration.cpp:430-445;
-we keep the occupancy mask on device).
+occupancy -> TSDF integrate -> raymarch draw -> hole fill.
+
+The frame is split into FOUR separately jitted stages (XLA still fuses
+within each):
+
+  1preprocess  sensor filtering + brick occupancy   (axis-independent)
+  2integrate   brick-sparse TSDF + color fusion     (axis-independent)
+  3recon       sweep raymarch renderer              (depends on static
+                                                     (axis, flip) — at most 6
+                                                     variants, and an axis
+                                                     change recompiles ONLY
+                                                     this stage)
+  holefill     inpaint pyramid + colorfill          (axis-independent)
+
+Splitting bounds compile time per program, caches each stage independently,
+and keeps a rotating camera from recompiling anything but the renderer
+(reference behaviour: shader programs are per-stage objects too). A fully
+fused single-dispatch variant remains available (``PipelineConfig.fused``)
+for minimum per-frame dispatch overhead once all variants are warm.
+
+Stage names match the reference's TimerDatabase entries
+(NetKinectArray.cpp:209-214, recon_integration.cpp:146-148) so the CSV
+contract lines up; ``step_timed`` records them (device-synced) into
+utils.timers.TimerDatabase.
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import numpy as np
 import jax
@@ -19,6 +38,7 @@ import jax.numpy as jnp
 
 from ..calibration.rig import RigCalibration
 from ..utils.math import Bbox
+from ..utils.timers import TimerDatabase
 from ..ops import preprocess as pp
 from ..ops import bricks as brick_ops
 from ..ops import tsdf as tsdf_ops
@@ -51,7 +71,17 @@ class PipelineConfig(NamedTuple):
     fast_path: bool = True
     max_bricks: int = 1024        # occupied-brick capacity of the fast path
     sample_window: int = 64       # image window per brick (px)
-    sweep_res: tuple[int, int] = (512, 512)  # intermediate sweep grid
+    sweep_res: tuple[int, int] | None = None  # intermediate sweep grid
+                                  # (None = derived from the render size)
+    # gather-free calibration lookups in preprocessing (ops/warp.py); falls
+    # back to the exact gather oracle when the rig's cv volumes are not
+    # affine-in-depth within warp_tol
+    use_warp: bool = True
+    warp_tol: float = 1e-4
+    # one dispatch per frame instead of four (all stages in a single jit);
+    # staged mode compiles much faster and recompiles only the renderer on
+    # camera-axis changes
+    fused: bool = False
 
 
 class FrameOutput(NamedTuple):
@@ -63,18 +93,27 @@ class FrameOutput(NamedTuple):
     num_samples: jnp.ndarray    # i32[H, W] raymarch cost image
 
 
+# reference timer names this pipeline can account for (BASELINE.md contract)
+STAGE_TIMERS = ("1preprocess", "2integrate", "3recon", "holefill")
+
+
 class FramePipeline:
-    """Holds the rig + static config and exposes a jitted ``step``.
+    """Holds the rig + static config and exposes jitted frame stages.
 
     ≙ the composition of NetKinectArray::processTextures +
     ReconIntegration::{integrate, drawF} with camera matrices as per-call
     inputs (model/view from the navigator, kinect_client.cpp:537-567).
+
+    ``log``: optional callable(str) for compile/progress reporting.
     """
 
-    def __init__(self, rig: RigCalibration, cfg: PipelineConfig = PipelineConfig()):
+    def __init__(self, rig: RigCalibration, cfg: PipelineConfig = PipelineConfig(),
+                 log: Callable[[str], None] | None = None,
+                 table_cache_dir: str | None = None):
         self.rig = rig
         self.cfg = cfg
         self.bbox = rig.bbox
+        self._log = log or (lambda s: None)
         if cfg.tsdf_res is not None:
             self.tsdf_cfg = tsdf_ops.TsdfConfig(cfg.tsdf_res, cfg.tsdf_limit)
         else:
@@ -95,50 +134,133 @@ class FramePipeline:
             and vx % tsdf_fast.BRICK == 0 and vy % tsdf_fast.BRICK == 0
             and vz % tsdf_fast.BRICK == 0
         )
-        self.tables = (
-            tsdf_fast.precompute_tables(rig, self.tsdf_cfg) if self.use_fast else None
-        )
+        if self.use_fast:
+            self._log(f"baking voxel->sensor warp tables at {self.tsdf_cfg.res} ...")
+            self.tables = tsdf_fast.tables_cached(
+                rig, self.tsdf_cfg, cache_dir=table_cache_dir
+            )
+        else:
+            self.tables = None
+
         self._step = jax.jit(self._step_impl, static_argnums=(4, 5))
+        self._pre = jax.jit(self._pre_impl)
+        self._integrate = jax.jit(self._integrate_impl)
+        self._render = jax.jit(self._render_impl, static_argnums=(4, 5))
+        self._fill = jax.jit(self._fill_impl)
+        self._warp = None
+        self._warp_hw = None
+        for t in STAGE_TIMERS:
+            TimerDatabase.instance().add_timer(t)
 
-    # -- pure step ---------------------------------------------------------
+    def _get_warp(self, h: int, w: int):
+        """Lazily bake the gather-free PixelWarp for the sensor resolution
+        (first frame defines it). Falls back to the gather oracle when the
+        rig's cv volumes are not affine in depth within cfg.warp_tol."""
+        if not self.cfg.use_warp:
+            return None
+        if self._warp_hw != (h, w):
+            from ..ops.warp import bake_pixel_warp
 
-    def _step_impl(self, depth_m, color, modelview, proj, axis=2, flip=False) -> FrameOutput:
+            self._log(f"baking pixel warp at {h}x{w} ...")
+            warp = bake_pixel_warp(self.rig, h, w)
+            if max(warp.max_err_xyz, warp.max_err_uv) > self.cfg.warp_tol:
+                self._log(
+                    f"  cv volumes not affine in depth (residual "
+                    f"xyz={warp.max_err_xyz:.2e} uv={warp.max_err_uv:.2e} > "
+                    f"{self.cfg.warp_tol}); using exact gather path"
+                )
+                warp = None
+            self._warp = warp
+            self._warp_hw = (h, w)
+        return self._warp
+
+    def _sweep_res(self) -> tuple[int, int]:
+        if self.cfg.sweep_res is not None:
+            return self.cfg.sweep_res
+
+        def rnd(n):
+            return max(128, min(512, -(-n // 128) * 128))
+
+        return (rnd(self.cfg.render_height), rnd(self.cfg.render_width))
+
+    # -- stage implementations (pure) -------------------------------------
+
+    def _pre_impl(self, depth_m, color):
+        """1preprocess: sensor filtering + brick occupancy (device-resident,
+        replacing the reference's GPU->CPU brick readback)."""
         cfg = self.cfg
-        rig = self.rig
-        frames = pp.preprocess(depth_m, color, rig, self.pre_cfg)
-
+        warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
+        frames = pp.preprocess(depth_m, color, self.rig, self.pre_cfg, warp)
         mask = None
         vox_mask = None
         occupied = jnp.float32(1.0)
         if cfg.use_bricks:
-            counts = brick_ops.mark_bricks(frames.world, frames.world_valid, self.brick_grid)
+            counts = brick_ops.mark_bricks(
+                frames.world, frames.world_valid, self.brick_grid
+            )
             mask = brick_ops.occupancy_mask(counts, cfg.min_voxels_per_brick)
-            vox_mask = brick_ops.voxel_occupancy(mask, self.brick_grid, self.tsdf_cfg.res)
+            vox_mask = brick_ops.voxel_occupancy(
+                mask, self.brick_grid, self.tsdf_cfg.res
+            )
             occupied = brick_ops.occupied_ratio(mask)
-
-        cam = rm.RenderCamera(modelview, proj, cfg.render_width, cfg.render_height)
         if self.use_fast:
             mask16 = tsdf_fast.brick16_mask(vox_mask)
-            vol, cvol = tsdf_fast.integrate_sparse(
-                frames, self.tables, self.tsdf_cfg, mask16,
-                max_bricks=cfg.max_bricks, window=cfg.sample_window,
-            )
-            n_slices = self.tsdf_cfg.res[axis]
-            occ_slices = (
-                rmf.slab_occupancy(mask16, axis, n_slices) if cfg.skip_space else None
-            )
-            out = rmf.render_fast(
-                vol, cvol, cam, self.bbox, self.tsdf_cfg.limit, axis, flip,
-                rm.RenderParams(shade_mode=cfg.shade_mode),
-                cfg=rmf.SweepConfig(res=cfg.sweep_res),
-                slab_occupied=occ_slices,
-            )
         else:
-            vol = tsdf_ops.integrate(frames, rig, self.tsdf_cfg, voxel_mask=vox_mask)
-            cvol = tsdf_ops.integrate_colors(frames, rig, self.tsdf_cfg, voxel_mask=vox_mask)
+            mask16 = None
+        return frames, mask, vox_mask, mask16, occupied
+
+    def _integrate_impl(self, frames, mask16):
+        """2integrate (fast path): brick-sparse fused TSDF + color volumes."""
+        cfg = self.cfg
+        vx, vy, vz = self.tsdf_cfg.res
+        total_bricks = (vx // tsdf_fast.BRICK) * (vy // tsdf_fast.BRICK) * (
+            vz // tsdf_fast.BRICK
+        )
+        return tsdf_fast.integrate_sparse(
+            frames, self.tables, self.tsdf_cfg, mask16,
+            max_bricks=min(cfg.max_bricks, total_bricks),
+            window=cfg.sample_window,
+        )
+
+    def _render_impl(self, vol, cvol, mask16, cam_mats, axis, flip):
+        """3recon (fast path): sweep-composited raymarch."""
+        cfg = self.cfg
+        modelview, proj = cam_mats
+        cam = rm.RenderCamera(modelview, proj, cfg.render_width, cfg.render_height)
+        n_slices = self.tsdf_cfg.res[axis]
+        occ_slices = (
+            rmf.slab_occupancy(mask16, axis, n_slices)
+            if (cfg.skip_space and mask16 is not None) else None
+        )
+        return rmf.render_fast(
+            vol, cvol, cam, self.bbox, self.tsdf_cfg.limit, axis, flip,
+            rm.RenderParams(shade_mode=cfg.shade_mode),
+            cfg=rmf.SweepConfig(res=self._sweep_res()),
+            slab_occupied=occ_slices,
+        )
+
+    def _fill_impl(self, color, depth):
+        """holefill: inpaint pyramid + colorfill resolve."""
+        pyr_c, pyr_d = inpaint.build_pyramid(color, depth, self.cfg.num_lods)
+        return inpaint.colorfill(pyr_c, pyr_d)
+
+    def _step_impl(self, depth_m, color, modelview, proj, axis=2, flip=False) -> FrameOutput:
+        """The fully fused single-program frame (cfg.fused; also the dense
+        reference-faithful path when the fast path is disabled)."""
+        cfg = self.cfg
+        frames, mask, vox_mask, mask16, occupied = self._pre_impl(depth_m, color)
+        if self.use_fast:
+            vol, cvol = self._integrate_impl(frames, mask16)
+            out = self._render_impl(vol, cvol, mask16, (modelview, proj), axis, flip)
+        else:
+            vol = tsdf_ops.integrate(frames, self.rig, self.tsdf_cfg, voxel_mask=vox_mask)
+            cvol = tsdf_ops.integrate_colors(
+                frames, self.rig, self.tsdf_cfg, voxel_mask=vox_mask
+            )
+            cam = rm.RenderCamera(modelview, proj, cfg.render_width, cfg.render_height)
             bsz_vol = self.brick_grid.brick_size / float(np.max(self.bbox.size))
             out = rm.render(
-                vol, cvol, frames, rig, cam, self.bbox, self.tsdf_cfg.limit,
+                vol, cvol, frames, self.rig, cam, self.bbox, self.tsdf_cfg.limit,
                 rm.RenderParams(shade_mode=cfg.shade_mode),
                 brick_mask=mask if (cfg.skip_space and cfg.use_bricks) else None,
                 brick_size_vol=bsz_vol,
@@ -146,8 +268,7 @@ class FramePipeline:
 
         color_out = out.color
         if cfg.fill_holes:
-            pyr_c, pyr_d = inpaint.build_pyramid(out.color, out.depth, cfg.num_lods)
-            color_out = inpaint.colorfill(pyr_c, pyr_d)
+            color_out = self._fill_impl(out.color, out.depth)
 
         return FrameOutput(
             color=color_out,
@@ -160,20 +281,115 @@ class FramePipeline:
 
     # -- public API --------------------------------------------------------
 
-    def step(self, depth_m, color, modelview, proj) -> FrameOutput:
-        """One fused frame. depth_m f32[K,H,W] meters; color f32[K,Hc,Wc,3];
-        modelview/proj f32[4,4] row-major GL matrices (host numpy — the
-        sweep axis is chosen host-side; at most 6 jit variants get cached)."""
-        axis, flip = 2, False
-        if self.use_fast:
-            axis, flip = rmf.pick_axis(
-                np.asarray(modelview), rm.vol_to_world_matrix(self.bbox)
-            )
-        return self._step(
-            jnp.asarray(depth_m), jnp.asarray(color),
-            jnp.asarray(modelview), jnp.asarray(proj),
-            axis, flip,
+    def _pick_axis(self, modelview) -> tuple[int, bool]:
+        return rmf.pick_axis(
+            np.asarray(modelview), rm.vol_to_world_matrix(self.bbox)
         )
+
+    def step(self, depth_m, color, modelview, proj) -> FrameOutput:
+        """One frame. depth_m f32[K,H,W] meters; color f32[K,Hc,Wc,3];
+        modelview/proj f32[4,4] row-major GL matrices (host numpy — the sweep
+        axis is chosen host-side; only the render stage has per-axis jit
+        variants)."""
+        axis, flip = (2, False)
+        if self.use_fast:
+            axis, flip = self._pick_axis(modelview)
+        depth_m = jnp.asarray(depth_m)
+        color = jnp.asarray(color)
+        modelview = jnp.asarray(modelview)
+        proj = jnp.asarray(proj)
+
+        if self.cfg.fused or not self.use_fast:
+            return self._step(depth_m, color, modelview, proj, axis, flip)
+
+        frames, mask, vox_mask, mask16, occupied = self._pre(depth_m, color)
+        vol, cvol = self._integrate(frames, mask16)
+        out = self._render(vol, cvol, mask16, (modelview, proj), axis, flip)
+        color_out = self._fill(out.color, out.depth) if self.cfg.fill_holes else out.color
+        return FrameOutput(
+            color=color_out, depth=out.depth, hit=out.hit, tsdf=vol,
+            occupied_ratio=occupied, num_samples=out.num_samples,
+        )
+
+    def step_timed(self, depth_m, color, modelview, proj) -> FrameOutput:
+        """Like ``step`` but records per-stage device-synced wall times into
+        TimerDatabase under the reference's stage names (BASELINE.md
+        measurement contract). Adds sync points — use for profiling/CSV runs,
+        not peak-fps loops."""
+        db = TimerDatabase.instance()
+        axis, flip = (2, False)
+        if self.use_fast:
+            axis, flip = self._pick_axis(modelview)
+        depth_m = jnp.asarray(depth_m)
+        color = jnp.asarray(color)
+        modelview = jnp.asarray(modelview)
+        proj = jnp.asarray(proj)
+
+        if self.cfg.fused or not self.use_fast:
+            with db.scope("3recon"):
+                out = jax.block_until_ready(
+                    self._step(depth_m, color, modelview, proj, axis, flip)
+                )
+            return out
+
+        with db.scope("1preprocess"):
+            frames, mask, vox_mask, mask16, occupied = jax.block_until_ready(
+                self._pre(depth_m, color)
+            )
+        with db.scope("2integrate"):
+            vol, cvol = jax.block_until_ready(self._integrate(frames, mask16))
+        with db.scope("3recon"):
+            out = jax.block_until_ready(
+                self._render(vol, cvol, mask16, (modelview, proj), axis, flip)
+            )
+        if self.cfg.fill_holes:
+            with db.scope("holefill"):
+                color_out = jax.block_until_ready(self._fill(out.color, out.depth))
+        else:
+            color_out = out.color
+        return FrameOutput(
+            color=color_out, depth=out.depth, hit=out.hit, tsdf=vol,
+            occupied_ratio=occupied, num_samples=out.num_samples,
+        )
+
+    def warmup(self, depth_m, color, modelview, proj) -> None:
+        """Compile every stage for the given shapes (one camera axis),
+        logging per-stage compile progress."""
+        import time
+
+        axis, flip = (2, False)
+        if self.use_fast:
+            axis, flip = self._pick_axis(modelview)
+        depth_m = jnp.asarray(depth_m)
+        color = jnp.asarray(color)
+        modelview = jnp.asarray(modelview)
+        proj = jnp.asarray(proj)
+        if self.cfg.fused or not self.use_fast:
+            t0 = time.time()
+            self._log("compiling fused frame step ...")
+            jax.block_until_ready(self._step(depth_m, color, modelview, proj, axis, flip))
+            self._log(f"  fused step: {time.time()-t0:.1f}s")
+            return
+        t0 = time.time()
+        self._log("compiling 1preprocess ...")
+        pre = jax.block_until_ready(self._pre(depth_m, color))
+        self._log(f"  1preprocess: {time.time()-t0:.1f}s")
+        frames, mask, vox_mask, mask16, occupied = pre
+        t0 = time.time()
+        self._log("compiling 2integrate ...")
+        vol, cvol = jax.block_until_ready(self._integrate(frames, mask16))
+        self._log(f"  2integrate: {time.time()-t0:.1f}s")
+        t0 = time.time()
+        self._log(f"compiling 3recon (axis={axis} flip={flip}) ...")
+        out = jax.block_until_ready(
+            self._render(vol, cvol, mask16, (modelview, proj), axis, flip)
+        )
+        self._log(f"  3recon: {time.time()-t0:.1f}s")
+        if self.cfg.fill_holes:
+            t0 = time.time()
+            self._log("compiling holefill ...")
+            jax.block_until_ready(self._fill(out.color, out.depth))
+            self._log(f"  holefill: {time.time()-t0:.1f}s")
 
     def default_camera(self, eye=None) -> tuple[np.ndarray, np.ndarray]:
         """Convenience view/projection aimed at the volume center."""

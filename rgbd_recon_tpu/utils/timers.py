@@ -9,6 +9,7 @@ dispatch is async, like the GL queries).
 """
 from __future__ import annotations
 
+import contextlib
 import time
 from dataclasses import dataclass, field
 
@@ -65,6 +66,15 @@ class TimerDatabase:
 
     def end(self, name: str, sync=None) -> float:
         return self.timers[name].end(sync)
+
+    @contextlib.contextmanager
+    def scope(self, name: str, sync=None):
+        """``with db.scope("2integrate"): ...`` — begin/end around a block."""
+        self.begin(name)
+        try:
+            yield
+        finally:
+            self.end(name, sync)
 
     def duration(self, name: str) -> float:
         return self.timers[name].last

@@ -90,3 +90,80 @@ def test_rendered_depth_matches_sphere(small_rig):
         pts = cam.unproject(u, v, d[ys[sel], xs[sel]].astype(np.float64))
         sdf = scene.sdf(pts)
         np.testing.assert_allclose(sdf, 0.0, atol=1e-3)
+
+
+def test_kinect_calibration_file_parse(tmp_path):
+    """RGBDemo .yml + side-file parsing round-trips the fixture metadata
+    (KinectCalibrationFile.cpp:148-580 semantics incl. comma-chop quirks)."""
+    from rgbd_recon_tpu.calibration import synthetic
+    from rgbd_recon_tpu.calibration.files import (
+        CalibrationFiles, KinectCalibrationFile, file_value, load_scene,
+    )
+    from rgbd_recon_tpu.utils.math import Bbox
+
+    bbox = Bbox.default()
+    ks = synthetic.write_reference_scene(
+        str(tmp_path), num_sensors=2, bbox=bbox, compressed_rgb=1,
+    )
+    cams = synthetic.make_cameras(2, bbox, width=128, height=104)
+
+    c = KinectCalibrationFile(str(tmp_path / "sensor0.yml")).parse()
+    assert c.width == 128 and c.height == 104
+    assert c.width_c == 128 and c.height_c == 104
+    np.testing.assert_allclose(c.color_focal, (cams[0].fx, cams[0].fy), rtol=1e-6)
+    np.testing.assert_allclose(
+        c.color_principal, (cams[0].cx, cams[0].cy), rtol=1e-6
+    )
+    np.testing.assert_allclose(c.near, cams[0].near, rtol=1e-6)
+    np.testing.assert_allclose(c.far, cams[0].far, rtol=1e-6)
+    assert c.compressed_rgb == 1
+    assert c.compressed_depth is False
+    np.testing.assert_allclose(c.rel_rotation, np.eye(3))
+    np.testing.assert_allclose(c.world_translation, cams[0].position, atol=1e-6)
+    np.testing.assert_allclose(c.world_rotation, cams[0].rot.T, atol=1e-6)
+    np.testing.assert_allclose(c.pos_min, bbox.min, atol=1e-4)
+    np.testing.assert_allclose(c.pos_max, bbox.max, atol=1e-4)
+    np.testing.assert_allclose(c.neg_max, np.full(3, -100.0))
+    assert c.serial == "SYNTH0000"
+
+    # missing side files fall back to reference defaults
+    (tmp_path / "sensor1.ext").unlink()
+    (tmp_path / "sensor1.bbx").unlink()
+    c1 = KinectCalibrationFile(str(tmp_path / "sensor1.yml")).parse()
+    np.testing.assert_allclose(c1.world_rotation, np.eye(3))
+    np.testing.assert_allclose(c1.world_translation, np.zeros(3))
+    np.testing.assert_allclose(c1.pos_min, np.full(3, -100.0))
+
+    cfs = CalibrationFiles([str(tmp_path / "sensor0.yml"), str(tmp_path / "sensor1.yml")])
+    fmt = cfs.frame_format()
+    assert fmt.width == 128 and fmt.height_c == 104
+    assert fmt.compressed_rgb == 1
+
+    # FileValue equivalent
+    (tmp_path / "groundlevel").write_text("0.42\n")
+    assert file_value(str(tmp_path / "groundlevel")) == 0.42
+    assert file_value(str(tmp_path / "missing"), -1.0) == -1.0
+
+
+def test_load_scene_end_to_end(tmp_path):
+    """.ks -> yml -> rig + FrameFormat in one call, matching the in-memory
+    synthetic rig exactly (byte-identical volume round trip)."""
+    from rgbd_recon_tpu.calibration import synthetic
+    from rgbd_recon_tpu.calibration.files import load_scene
+    from rgbd_recon_tpu.utils.math import Bbox
+
+    bbox = Bbox.default()
+    ks = synthetic.write_reference_scene(str(tmp_path), num_sensors=2, bbox=bbox)
+    cfs, rig, fmt, bbox2 = load_scene(ks)
+    assert cfs.num == 2
+    np.testing.assert_allclose(bbox2.min, bbox.min, atol=1e-4)
+    ref_rig, _ = synthetic.synthetic_rig(
+        num_sensors=2, bbox=bbox, fwd_res=(32, 48, 32), inv_res=(32, 32, 32),
+        width=128, height=104,
+    )
+    np.testing.assert_array_equal(np.asarray(rig.cv_xyz), np.asarray(ref_rig.cv_xyz))
+    np.testing.assert_array_equal(np.asarray(rig.cv_uv), np.asarray(ref_rig.cv_uv))
+    np.testing.assert_array_equal(
+        np.asarray(rig.cv_xyz_inv), np.asarray(ref_rig.cv_xyz_inv)
+    )
+    assert fmt.width == 128 and fmt.color_size == 128 * 104 * 3

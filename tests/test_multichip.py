@@ -1,8 +1,39 @@
-"""Multi-device sharding on the virtual 8-device CPU mesh."""
+"""Multi-device sharding on the virtual 8-device CPU mesh.
+
+Verifies DISTRIBUTION, not just placement: collectives must appear in the
+compiled HLO and per-device intermediates must be 1/n-sized slabs.
+"""
 import numpy as np
 import jax
+import jax.numpy as jnp
+import pytest
 
 from rgbd_recon_tpu.parallel.sharding import make_mesh, sharded_step, shard_volume
+from rgbd_recon_tpu.parallel.replay import ReplayDriver, partition_sequences
+
+
+def _small_pipe(num_sensors=2, fast=False, tsdf=(32, 32, 32)):
+    from rgbd_recon_tpu.utils.math import Bbox
+    from rgbd_recon_tpu.calibration import synthetic
+    from rgbd_recon_tpu.runtime.pipeline import FramePipeline, PipelineConfig
+
+    bbox = Bbox.default()
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=num_sensors, bbox=bbox, fwd_res=(32, 48, 32),
+        inv_res=(32, 32, 32), width=128, height=104,
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    pipe = FramePipeline(
+        rig,
+        PipelineConfig(
+            render_width=96, render_height=64, tsdf_res=tsdf,
+            voxel_size=float(np.max(bbox.size) / tsdf[0]),
+            brick_size=0.2, num_lods=4, fast_path=fast,
+        ),
+    )
+    mv, proj = pipe.default_camera()
+    return pipe, depth, color, mv, proj
 
 
 def test_dryrun_multichip_contract():
@@ -27,3 +58,66 @@ def test_shard_volume_layout():
     # each device holds a z-slab
     shard_shapes = {s.data.shape for s in sharded.addressable_shards}
     assert shard_shapes == {(4, 16, 16)}
+
+
+def test_sharded_step_distributes_compute():
+    """The z-shard constraint must partition the integration itself: the
+    volume output holds 1/n z-slabs per device and the compiled module
+    contains cross-device collectives (the renderer's volume all-gather)."""
+    mesh = make_mesh(8)
+    pipe, depth, color, mv, proj = _small_pipe()
+    fn = sharded_step(pipe, mesh)
+    args = (jnp.asarray(depth), jnp.asarray(color), jnp.asarray(mv), jnp.asarray(proj))
+
+    compiled = fn.lower(*args).compile()
+    hlo = compiled.as_text()
+    assert ("all-gather" in hlo) or ("all-reduce" in hlo) or (
+        "collective-permute" in hlo
+    ), "no collectives in compiled HLO - compute is not distributed"
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    assert np.all(np.isfinite(np.asarray(out.color)))
+    # the TSDF stays z-sharded: per-device slabs are 1/8 of the volume
+    shard_shapes = {s.data.shape for s in out.tsdf.addressable_shards}
+    assert shard_shapes == {(4, 32, 32)}, shard_shapes
+
+
+def test_sharded_step_matches_single_device():
+    """Distributing the dense step must not change the image."""
+    mesh = make_mesh(8)
+    pipe, depth, color, mv, proj = _small_pipe()
+    fn = sharded_step(pipe, mesh)
+    out_sh = fn(jnp.asarray(depth), jnp.asarray(color), jnp.asarray(mv), jnp.asarray(proj))
+    out_1 = pipe.step(depth, color, mv, proj)
+    np.testing.assert_allclose(
+        np.asarray(out_sh.color), np.asarray(out_1.color), atol=2e-5
+    )
+
+
+def test_replay_batch_dp():
+    """Sequence-parallel replay: batch axis sharded over the mesh, fast path
+    inside vmap, per-device batch shards 1/n-sized."""
+    mesh = make_mesh(8)
+    pipe, depth, color, mv, proj = _small_pipe(fast=True)
+    drv = ReplayDriver(pipe, mesh)
+    b = 8
+    depth_b = np.stack([depth] * b)
+    color_b = np.stack([color] * b)
+    out = drv.step(depth_b, color_b, mv, proj)
+    jax.block_until_ready(out)
+    assert out.color.shape[0] == b
+    shard_shapes = {s.data.shape[0] for s in out.color.addressable_shards}
+    assert shard_shapes == {1}, "batch not distributed 1-per-device"
+    # all sequences identical input -> identical output
+    c = np.asarray(out.color)
+    np.testing.assert_allclose(c[0], c[-1], atol=1e-6)
+    assert np.all(np.isfinite(c))
+
+
+def test_partition_sequences():
+    paths = [f"s{i}.stream" for i in range(10)]
+    parts = [partition_sequences(paths, pi, 4) for pi in range(4)]
+    flat = sorted(p for part in parts for p in part)
+    assert flat == sorted(paths)
+    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1

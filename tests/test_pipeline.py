@@ -47,6 +47,10 @@ def test_inpaint_pyramid_fills_holes():
     valid = disk & ~hole
     color[valid] = [0.8, 0.4, 0.2, 1.0]
     depth[valid] = 0.5
+    # a color hole is a HIT with no valid blend (alpha <= 0, depth < 1);
+    # depth == 1 marks background and must stay unfilled
+    # (tsdf_inpaint.fs:59-68 / tsdf_colorfill.fs:54)
+    depth[hole] = 0.6
     cols, deps = inpaint.build_pyramid(jnp.asarray(color), jnp.asarray(depth), 6)
     filled = np.asarray(inpaint.colorfill(cols, deps))
     # hole pixels get plausible colors from coarser lods

@@ -112,3 +112,24 @@ def test_full_preprocess_invariants(small_rig):
     assert np.all(sil[0][bg] == 0.0)
     assert np.all(qual[0][bg] == 0.0)
     assert np.all(dep[0][bg][:, 0] <= 0.0)
+
+
+def test_preprocess_warp_parity(small_rig):
+    """Gather-free PixelWarp path must match the sample3d oracle path."""
+    import jax.numpy as jnp
+    from rgbd_recon_tpu.ops import preprocess as pp
+    from rgbd_recon_tpu.ops.warp import bake_pixel_warp
+
+    rig = small_rig["rig"]
+    depth = jnp.asarray(small_rig["depth"])
+    color = jnp.asarray(small_rig["color"])
+    h, w = depth.shape[1], depth.shape[2]
+    warp = bake_pixel_warp(rig, h, w)
+    assert warp.max_err_xyz < 1e-4 and warp.max_err_uv < 1e-4
+    ref = pp.preprocess(depth, color, rig)
+    got = pp.preprocess(depth, color, rig, warp=warp)
+    for name in ("depth", "silhouette", "normals", "quality",
+                 "color_registered", "world"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(a, b, atol=2e-4, err_msg=name)
