@@ -82,8 +82,16 @@ def bench_rung(tsdf_n: int, num_sensors: int, rw: int, rh: int, iters: int,
         table_cache_dir=cache_dir,
     )
     mv, proj = pipe.default_camera()
-    d = jnp.asarray(depth)
-    c = jnp.asarray(color)
+    # pre-stage several DISTINCT input frames and cycle them: a loop over one
+    # identical buffer could be memoized by a caching backend and does not
+    # represent streaming anyway
+    nbuf = int(os.environ.get("BENCH_NBUF", "4"))
+    rng = np.random.default_rng(7)
+    ds, cs = [], []
+    for _ in range(nbuf):
+        ds.append(jnp.asarray(depth + rng.uniform(0, 2e-3, depth.shape).astype(np.float32)))
+        cs.append(jnp.asarray(np.clip(color + rng.uniform(0, 1e-2, color.shape).astype(np.float32), 0, 1)))
+    d, c = ds[0], cs[0]
 
     t0 = time.time()
     pipe.warmup(d, c, mv, proj)
@@ -91,8 +99,8 @@ def bench_rung(tsdf_n: int, num_sensors: int, rw: int, rh: int, iters: int,
 
     t0 = time.time()
     out = None
-    for _ in range(iters):
-        out = pipe.step(d, c, mv, proj)
+    for i in range(iters):
+        out = pipe.step(ds[i % nbuf], cs[i % nbuf], mv, proj)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
     fps = 1.0 / dt

@@ -10,11 +10,21 @@ from __future__ import annotations
 
 
 class Configurator:
+    _instance: "Configurator | None" = None
+
     def __init__(self):
         self.bools: dict[str, bool] = {}
         self.floats: dict[str, float] = {}
         self.uints: dict[str, int] = {}
         self.lists: dict[str, list[int]] = {}
+
+    @classmethod
+    def instance(cls) -> "Configurator":
+        """Singleton accessor (≙ the reference's global ``configurator()``,
+        io/configurator.hpp:8)."""
+        if cls._instance is None:
+            cls._instance = Configurator()
+        return cls._instance
 
     def read(self, filename: str) -> "Configurator":
         with open(filename) as f:
@@ -38,17 +48,17 @@ class Configurator:
                         self.floats[name] = 0.0
         return self
 
-    def get_bool(self, name: str) -> bool:
-        return self.bools[name]
+    def get_bool(self, name: str, default: bool = False) -> bool:
+        return self.bools.get(name, default)
 
-    def get_float(self, name: str) -> float:
-        return self.floats[name]
+    def get_float(self, name: str, default: float = 0.0) -> float:
+        return self.floats.get(name, default)
 
-    def get_uint(self, name: str) -> int:
-        return self.uints[name]
+    def get_uint(self, name: str, default: int = 0) -> int:
+        return self.uints.get(name, default)
 
-    def get_list(self, name: str) -> list[int]:
-        return self.lists[name]
+    def get_list(self, name: str, default=None) -> list[int]:
+        return self.lists.get(name, default if default is not None else [])
 
     def get(self, name: str, default=None):
         for table in (self.bools, self.uints, self.floats, self.lists):

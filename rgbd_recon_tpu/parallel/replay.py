@@ -36,24 +36,28 @@ class ReplayDriver:
         batched = NamedSharding(self.mesh, P("shard"))
         repl = NamedSharding(self.mesh, P())
 
-        def step(depth_b, color_b, modelview, proj):
+        def step(depth_b, color_b, modelview, proj, rig, warp, tables):
             # fixed sweep axis across the batch: offline replay renders a
             # fixed novel-view camera (axis variants would shape-split the
             # batch); axis 2 matches the default camera
-            return pipe._step_impl(depth_b, color_b, modelview, proj, 2, False)
+            return pipe._step_impl(
+                depth_b, color_b, modelview, proj, rig, warp, tables, 2, False
+            )
 
         self._step = jax.jit(
-            jax.vmap(step, in_axes=(0, 0, None, None)),
-            in_shardings=(batched, batched, repl, repl),
+            jax.vmap(step, in_axes=(0, 0, None, None, None, None, None)),
+            in_shardings=(batched, batched, repl, repl, repl, repl, repl),
         )
 
     def step(self, depth_b, color_b, modelview, proj):
         """depth_b f32[B, K, H, W]; color_b f32[B, K, Hc, Wc, 3];
         shared camera. Returns a batched FrameOutput (leading B axis,
         sharded over the mesh)."""
+        warp = self.pipe._get_warp(depth_b.shape[2], depth_b.shape[3])
         return self._step(
             jnp.asarray(depth_b), jnp.asarray(color_b),
             jnp.asarray(modelview), jnp.asarray(proj),
+            self.pipe.rig, warp, self.pipe.tables,
         )
 
     def run(self, readers: Sequence, modelview, proj, num_frames: int | None = None):

@@ -55,19 +55,17 @@ def sharded_step(pipe, mesh: Mesh):
     from ..runtime.pipeline import FrameOutput
 
     cfg = pipe.cfg
-    rig = pipe.rig
     n = int(np.prod([d for d in mesh.devices.shape]))
 
     def constrain(x, spec):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-    def step(depth_m, color, modelview, proj) -> FrameOutput:
+    def step(depth_m, color, modelview, proj, rig, warp) -> FrameOutput:
         k = depth_m.shape[0]
         if k % n == 0:
             # sensor-parallel preprocessing
             depth_m = constrain(depth_m, P("shard"))
             color = constrain(color, P("shard"))
-        warp = pipe._get_warp(depth_m.shape[1], depth_m.shape[2])
         frames = pp.preprocess(depth_m, color, rig, pipe.pre_cfg, warp)
 
         vox_mask = None
@@ -117,11 +115,29 @@ def sharded_step(pipe, mesh: Mesh):
         )
 
     repl = NamedSharding(mesh, P())
-    return jax.jit(
+    jitted = jax.jit(
         step,
-        in_shardings=(repl, repl, repl, repl),
+        in_shardings=(repl, repl, repl, repl, repl, repl),
         out_shardings=None,  # propagate: tsdf stays z-sharded
     )
+
+    class _ShardedStep:
+        """4-arg facade that binds the rig/warp data arguments host-side
+        (big arrays must be jit args, not closure constants)."""
+
+        def _data_args(self, depth_m):
+            warp = pipe._get_warp(depth_m.shape[1], depth_m.shape[2])
+            return pipe.rig, warp
+
+        def __call__(self, depth_m, color, modelview, proj):
+            return jitted(depth_m, color, modelview, proj, *self._data_args(depth_m))
+
+        def lower(self, depth_m, color, modelview, proj):
+            return jitted.lower(
+                depth_m, color, modelview, proj, *self._data_args(depth_m)
+            )
+
+    return _ShardedStep()
 
 
 def shard_volume(mesh: Mesh, vol):

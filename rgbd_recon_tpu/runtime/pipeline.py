@@ -142,7 +142,11 @@ class FramePipeline:
         else:
             self.tables = None
 
-        self._step = jax.jit(self._step_impl, static_argnums=(4, 5))
+        # Big calibration data (rig volumes, warp images, baked tables) is
+        # passed as jit ARGUMENTS, never closed over: closure constants get
+        # embedded into the serialized program (at 256^3 the warp table alone
+        # is ~800 MB — the round-1 benchmark died on exactly this).
+        self._step = jax.jit(self._step_impl, static_argnums=(7, 8))
         self._pre = jax.jit(self._pre_impl)
         self._integrate = jax.jit(self._integrate_impl)
         self._render = jax.jit(self._render_impl, static_argnums=(4, 5))
@@ -154,8 +158,9 @@ class FramePipeline:
 
     def _get_warp(self, h: int, w: int):
         """Lazily bake the gather-free PixelWarp for the sensor resolution
-        (first frame defines it). Falls back to the gather oracle when the
-        rig's cv volumes are not affine in depth within cfg.warp_tol."""
+        (first frame defines it), device-resident. Falls back to the gather
+        oracle when the rig's cv volumes are not affine in depth within
+        cfg.warp_tol. Host-side — call OUTSIDE jit traces."""
         if not self.cfg.use_warp:
             return None
         if self._warp_hw != (h, w):
@@ -170,6 +175,11 @@ class FramePipeline:
                     f"{self.cfg.warp_tol}); using exact gather path"
                 )
                 warp = None
+            else:
+                warp = warp._replace(
+                    xyz_a=jnp.asarray(warp.xyz_a), xyz_b=jnp.asarray(warp.xyz_b),
+                    uv_a=jnp.asarray(warp.uv_a), uv_b=jnp.asarray(warp.uv_b),
+                )
             self._warp = warp
             self._warp_hw = (h, w)
         return self._warp
@@ -185,12 +195,11 @@ class FramePipeline:
 
     # -- stage implementations (pure) -------------------------------------
 
-    def _pre_impl(self, depth_m, color):
+    def _pre_impl(self, depth_m, color, rig, warp):
         """1preprocess: sensor filtering + brick occupancy (device-resident,
         replacing the reference's GPU->CPU brick readback)."""
         cfg = self.cfg
-        warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
-        frames = pp.preprocess(depth_m, color, self.rig, self.pre_cfg, warp)
+        frames = pp.preprocess(depth_m, color, rig, self.pre_cfg, warp)
         mask = None
         vox_mask = None
         occupied = jnp.float32(1.0)
@@ -209,7 +218,7 @@ class FramePipeline:
             mask16 = None
         return frames, mask, vox_mask, mask16, occupied
 
-    def _integrate_impl(self, frames, mask16):
+    def _integrate_impl(self, frames, mask16, tables):
         """2integrate (fast path): brick-sparse fused TSDF + color volumes."""
         cfg = self.cfg
         vx, vy, vz = self.tsdf_cfg.res
@@ -217,7 +226,7 @@ class FramePipeline:
             vz // tsdf_fast.BRICK
         )
         return tsdf_fast.integrate_sparse(
-            frames, self.tables, self.tsdf_cfg, mask16,
+            frames, tables, self.tsdf_cfg, mask16,
             max_bricks=min(cfg.max_bricks, total_bricks),
             window=cfg.sample_window,
         )
@@ -244,23 +253,32 @@ class FramePipeline:
         pyr_c, pyr_d = inpaint.build_pyramid(color, depth, self.cfg.num_lods)
         return inpaint.colorfill(pyr_c, pyr_d)
 
-    def _step_impl(self, depth_m, color, modelview, proj, axis=2, flip=False) -> FrameOutput:
+    def _step_impl(self, depth_m, color, modelview, proj, rig=None, warp=None,
+                   tables=None, axis=2, flip=False) -> FrameOutput:
         """The fully fused single-program frame (cfg.fused; also the dense
-        reference-faithful path when the fast path is disabled)."""
+        reference-faithful path when the fast path is disabled). ``rig``,
+        ``warp`` and ``tables`` are data arguments (see __init__ note); None
+        rig falls back to self.rig (small-volume test rigs only)."""
         cfg = self.cfg
-        frames, mask, vox_mask, mask16, occupied = self._pre_impl(depth_m, color)
+        if rig is None:
+            rig = self.rig
+        if tables is None:
+            tables = self.tables
+        frames, mask, vox_mask, mask16, occupied = self._pre_impl(
+            depth_m, color, rig, warp
+        )
         if self.use_fast:
-            vol, cvol = self._integrate_impl(frames, mask16)
+            vol, cvol = self._integrate_impl(frames, mask16, tables)
             out = self._render_impl(vol, cvol, mask16, (modelview, proj), axis, flip)
         else:
-            vol = tsdf_ops.integrate(frames, self.rig, self.tsdf_cfg, voxel_mask=vox_mask)
+            vol = tsdf_ops.integrate(frames, rig, self.tsdf_cfg, voxel_mask=vox_mask)
             cvol = tsdf_ops.integrate_colors(
-                frames, self.rig, self.tsdf_cfg, voxel_mask=vox_mask
+                frames, rig, self.tsdf_cfg, voxel_mask=vox_mask
             )
             cam = rm.RenderCamera(modelview, proj, cfg.render_width, cfg.render_height)
             bsz_vol = self.brick_grid.brick_size / float(np.max(self.bbox.size))
             out = rm.render(
-                vol, cvol, frames, self.rig, cam, self.bbox, self.tsdf_cfg.limit,
+                vol, cvol, frames, rig, cam, self.bbox, self.tsdf_cfg.limit,
                 rm.RenderParams(shade_mode=cfg.shade_mode),
                 brick_mask=mask if (cfg.skip_space and cfg.use_bricks) else None,
                 brick_size_vol=bsz_vol,
@@ -294,16 +312,22 @@ class FramePipeline:
         axis, flip = (2, False)
         if self.use_fast:
             axis, flip = self._pick_axis(modelview)
+        warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
         depth_m = jnp.asarray(depth_m)
         color = jnp.asarray(color)
         modelview = jnp.asarray(modelview)
         proj = jnp.asarray(proj)
 
         if self.cfg.fused or not self.use_fast:
-            return self._step(depth_m, color, modelview, proj, axis, flip)
+            return self._step(
+                depth_m, color, modelview, proj, self.rig, warp, self.tables,
+                axis, flip,
+            )
 
-        frames, mask, vox_mask, mask16, occupied = self._pre(depth_m, color)
-        vol, cvol = self._integrate(frames, mask16)
+        frames, mask, vox_mask, mask16, occupied = self._pre(
+            depth_m, color, self.rig, warp
+        )
+        vol, cvol = self._integrate(frames, mask16, self.tables)
         out = self._render(vol, cvol, mask16, (modelview, proj), axis, flip)
         color_out = self._fill(out.color, out.depth) if self.cfg.fill_holes else out.color
         return FrameOutput(
@@ -320,6 +344,7 @@ class FramePipeline:
         axis, flip = (2, False)
         if self.use_fast:
             axis, flip = self._pick_axis(modelview)
+        warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
         depth_m = jnp.asarray(depth_m)
         color = jnp.asarray(color)
         modelview = jnp.asarray(modelview)
@@ -328,16 +353,21 @@ class FramePipeline:
         if self.cfg.fused or not self.use_fast:
             with db.scope("3recon"):
                 out = jax.block_until_ready(
-                    self._step(depth_m, color, modelview, proj, axis, flip)
+                    self._step(
+                        depth_m, color, modelview, proj, self.rig, warp,
+                        self.tables, axis, flip,
+                    )
                 )
             return out
 
         with db.scope("1preprocess"):
             frames, mask, vox_mask, mask16, occupied = jax.block_until_ready(
-                self._pre(depth_m, color)
+                self._pre(depth_m, color, self.rig, warp)
             )
         with db.scope("2integrate"):
-            vol, cvol = jax.block_until_ready(self._integrate(frames, mask16))
+            vol, cvol = jax.block_until_ready(
+                self._integrate(frames, mask16, self.tables)
+            )
         with db.scope("3recon"):
             out = jax.block_until_ready(
                 self._render(vol, cvol, mask16, (modelview, proj), axis, flip)
@@ -360,6 +390,7 @@ class FramePipeline:
         axis, flip = (2, False)
         if self.use_fast:
             axis, flip = self._pick_axis(modelview)
+        warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
         depth_m = jnp.asarray(depth_m)
         color = jnp.asarray(color)
         modelview = jnp.asarray(modelview)
@@ -367,17 +398,24 @@ class FramePipeline:
         if self.cfg.fused or not self.use_fast:
             t0 = time.time()
             self._log("compiling fused frame step ...")
-            jax.block_until_ready(self._step(depth_m, color, modelview, proj, axis, flip))
+            jax.block_until_ready(
+                self._step(
+                    depth_m, color, modelview, proj, self.rig, warp,
+                    self.tables, axis, flip,
+                )
+            )
             self._log(f"  fused step: {time.time()-t0:.1f}s")
             return
         t0 = time.time()
         self._log("compiling 1preprocess ...")
-        pre = jax.block_until_ready(self._pre(depth_m, color))
+        pre = jax.block_until_ready(self._pre(depth_m, color, self.rig, warp))
         self._log(f"  1preprocess: {time.time()-t0:.1f}s")
         frames, mask, vox_mask, mask16, occupied = pre
         t0 = time.time()
         self._log("compiling 2integrate ...")
-        vol, cvol = jax.block_until_ready(self._integrate(frames, mask16))
+        vol, cvol = jax.block_until_ready(
+            self._integrate(frames, mask16, self.tables)
+        )
         self._log(f"  2integrate: {time.time()-t0:.1f}s")
         t0 = time.time()
         self._log(f"compiling 3recon (axis={axis} flip={flip}) ...")

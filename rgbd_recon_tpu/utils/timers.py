@@ -82,22 +82,33 @@ class TimerDatabase:
     def mean(self, name: str) -> float:
         return self.timers[name].mean
 
-    # CSV contract (timer_database.cpp:59-121): header row of timer names,
-    # one value row, times in milliseconds
-    def _write(self, path: str, getter) -> None:
+    # CSV contract (timer_database.cpp:59-121): given "<dir>/<name>,<date>,
+    # <time>.csv", each writer emits "<dir>/{mean|min|max}_<file>" holding a
+    # header row `timer,"n1","n2",...` and a value row `<name>,v1,v2,...`
+    # with times in milliseconds
+    def _write(self, file_name: str, getter, prefix: str) -> None:
+        import os
+
+        directory, filename = os.path.split(file_name)
+        name = filename.split(",")[0]
         names = sorted(self.timers)
-        with open(path, "w") as f:
-            f.write(",".join(names) + "\n")
-            f.write(",".join(f"{getter(self.timers[n]) * 1e3:.6f}" for n in names) + "\n")
+        out_path = os.path.join(directory, prefix + filename)
+        with open(out_path, "w") as f:
+            f.write("timer" + "".join(f',"{n}"' for n in names) + "\n")
+            f.write(
+                name
+                + "".join(f",{getter(self.timers[n]) * 1e3:.6f}" for n in names)
+                + "\n"
+            )
 
     def write_mean(self, path: str) -> None:
-        self._write(path, lambda t: t.mean)
+        self._write(path, lambda t: t.mean, "mean_")
 
     def write_min(self, path: str) -> None:
-        self._write(path, lambda t: t.vmin if t.count else 0.0)
+        self._write(path, lambda t: (t.vmin if t.count else 0.0), "min_")
 
     def write_max(self, path: str) -> None:
-        self._write(path, lambda t: t.vmax)
+        self._write(path, lambda t: t.vmax, "max_")
 
     def reset(self) -> None:
         self.timers.clear()

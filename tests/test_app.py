@@ -1,0 +1,112 @@
+"""Application layer: scripted replay run producing frames + timer CSVs
+(≙ the reference's benchmark harness, kinect_client.cpp:831-847,1003-1012)."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from rgbd_recon_tpu.app import AppConfig, KinectClientApp, load_config, main
+from rgbd_recon_tpu.calibration import synthetic
+from rgbd_recon_tpu.io.stream import StreamWriter, FrameFormat
+from rgbd_recon_tpu.utils.math import Bbox
+from rgbd_recon_tpu.utils.png import write_png, read_png
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    """Reference-format scene + recorded streams + a .conf file."""
+    d = tmp_path_factory.mktemp("scene")
+    bbox = Bbox.default()
+    ks = synthetic.write_reference_scene(
+        str(d), num_sensors=2, bbox=bbox, width=128, height=104,
+    )
+    cams = synthetic.make_cameras(2, bbox, width=128, height=104)
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    fmt = FrameFormat(width=128, height=104, width_c=128, height_c=104,
+                      compressed_rgb=0, compressed_depth=False)
+    rec = d / "recordings"
+    rec.mkdir()
+    paths = [str(rec / f"sensor{i}.stream") for i in range(2)]
+    w = StreamWriter(paths, fmt)
+    for _ in range(3):
+        w.write(depth, color)
+    w.close()
+    conf = d / "run.conf"
+    conf.write_text(
+        "recon_mode: 1\nscreenWidth: 96\nscreenHeight: 64\nplay: true\n"
+        "voxel_size: 0.05\nbrick_size: 0.2\ntsdf_limit: 0.02\n"
+        "zoom: 2.5\ntime_limit: 600\n"
+    )
+    return dict(dir=d, ks=ks, conf=str(conf), depth=depth, color=color)
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (20, 31, 3), np.uint8)
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    np.testing.assert_array_equal(read_png(p), img)
+    gray = rng.integers(0, 255, (8, 8), np.uint8)
+    write_png(p, gray)
+    np.testing.assert_array_equal(read_png(p), gray)
+
+
+def test_app_config_load(scene_dir):
+    cfg = AppConfig()
+    load_config(cfg, scene_dir["conf"])
+    assert cfg.recon_mode == 1
+    assert cfg.screen_width == 96 and cfg.screen_height == 64
+    assert cfg.voxel_size == pytest.approx(0.05)
+    assert cfg.time_limit == 600
+    assert cfg.loaded_conf
+
+
+def test_app_replay_run(scene_dir, monkeypatch):
+    """Full scripted run: .ks + .conf + recordings -> frames + CSVs."""
+    d = scene_dir["dir"]
+    monkeypatch.chdir(d)
+    rc = main([
+        "scene.ks", "run.conf",
+        "-recordings", "recordings",
+        "-outdir", str(d / "frames"),
+        "-dump-every", "2",
+        "-dump-textures",
+        "-frames", "4",
+    ])
+    assert rc == 0
+    pngs = sorted(glob.glob(str(d / "frames" / "frame_*.png")))
+    assert len(pngs) >= 2
+    img = read_png(pngs[0])
+    assert img.shape == (64, 96, 4)
+    assert np.isfinite(img).all()
+    # texture dumps (≙ writeCurrentTexture)
+    assert glob.glob(str(d / "frames" / "*_k0_quality.png"))
+    # timer CSVs in the reference naming scheme
+    csvs = glob.glob(str(d / "mean_run,*.csv"))
+    assert csvs, os.listdir(d)
+    header, values = open(csvs[0]).read().splitlines()
+    assert header.startswith('timer,"')
+    assert '"2integrate"' in header
+    assert values.startswith("run,")
+    assert glob.glob(str(d / "min_run,*.csv"))
+    assert glob.glob(str(d / "max_run,*.csv"))
+
+
+def test_app_mode_dispatch(scene_dir, monkeypatch):
+    """Non-integration strategies run through the same loop (points mode)."""
+    d = scene_dir["dir"]
+    monkeypatch.chdir(d)
+    cfg = AppConfig()
+    load_config(cfg, scene_dir["conf"])
+    cfg.recon_mode = 0
+    cfg.time_limit = 0
+    app = KinectClientApp(
+        "scene.ks", cfg, recordings_dir="recordings",
+        out_dir=str(d / "frames0"), dump_every=1, max_frames=1,
+        log=lambda *a: None,
+    )
+    rc = app.run()
+    assert rc == 0
+    assert glob.glob(str(d / "frames0" / "frame_*.png"))

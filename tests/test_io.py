@@ -136,12 +136,20 @@ def test_timer_database_csv(tmp_path):
         db.end("2integrate")
         db.begin("draw")
         db.end("draw")
-    p = tmp_path / "mean.csv"
+    # reference naming: "<dir>/<name>,<date>,<time>.csv" -> mean_/min_/max_
+    # prefixed files (timer_database.cpp:59-121)
+    p = tmp_path / "bench,2026-8-16,12-0.csv"
     db.write_mean(str(p))
-    lines = p.read_text().strip().split("\n")
-    assert lines[0] == "2integrate,draw"
-    vals = [float(v) for v in lines[1].split(",")]
-    assert all(v >= 0.0 for v in vals)
+    db.write_min(str(p))
+    db.write_max(str(p))
+    out = tmp_path / "mean_bench,2026-8-16,12-0.csv"
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == 'timer,"2integrate","draw"'
+    row = lines[1].split(",")
+    assert row[0] == "bench"
+    assert all(float(v) >= 0.0 for v in row[1:])
+    assert (tmp_path / "min_bench,2026-8-16,12-0.csv").exists()
+    assert (tmp_path / "max_bench,2026-8-16,12-0.csv").exists()
 
 
 def test_native_dxt_matches_numpy():
