@@ -26,9 +26,9 @@ except Exception:  # pragma: no cover
 class DoubleBuffer:
     """Front/back swap with a dirty flag (≙ double_buffer.hpp:6-33)."""
 
-    def __init__(self, shape_depth, shape_color):
+    def __init__(self, shape_depth, shape_color, color_dtype=np.float32):
         self._depth = [np.zeros(shape_depth, np.float32) for _ in range(2)]
-        self._color = [np.zeros(shape_color, np.float32) for _ in range(2)]
+        self._color = [np.zeros(shape_color, color_dtype) for _ in range(2)]
         self._front = 0
         self.dirty = False
         self.lock = threading.Lock()
@@ -62,14 +62,17 @@ class ZMQIngest:
     ``[f64 time][K1 color][K1 depth][K2 color][K2 depth]...``
     (NetKinectArray.cpp:510-523)."""
 
-    def __init__(self, endpoint: str, num_sensors: int, fmt: FrameFormat):
+    def __init__(self, endpoint: str, num_sensors: int, fmt: FrameFormat,
+                 color_u8: bool = False):
         if zmq is None:
             raise RuntimeError("pyzmq not available")
         self.fmt = fmt
         self.num_sensors = num_sensors
+        self.color_u8 = color_u8
         self.buffer = DoubleBuffer(
             (num_sensors, fmt.height, fmt.width),
             (num_sensors, fmt.height_c, fmt.width_c, 3),
+            color_dtype=np.uint8 if color_u8 else np.float32,
         )
         self._endpoint = endpoint
         self._running = False
@@ -106,7 +109,9 @@ class ZMQIngest:
                 off = 8
                 for k in range(self.num_sensors):
                     raw = np.frombuffer(msg[off : off + fmt.color_size], np.uint8)
-                    self.buffer.back_color[k] = fmt.decode_color(raw)
+                    self.buffer.back_color[k] = fmt.decode_color(
+                        raw, as_float=not self.color_u8
+                    )
                     off += fmt.color_size
                     raw = np.frombuffer(msg[off : off + fmt.depth_size], np.uint8)
                     self.buffer.back_depth[k] = fmt.decode_depth(raw)
@@ -115,6 +120,45 @@ class ZMQIngest:
         finally:
             sock.close(0)
             ctx.term()
+
+
+class DeviceFeed:
+    """Host->device staging that overlaps H2D with compute.
+
+    ≙ the reference's persistent-mapped PBO pair + fillLayersFromPBO
+    (double_pixel_buffer.cpp:10-103, TextureArray.cpp:75-87): while the
+    device executes frame N, frame N+1's arrays are already being copied.
+    JAX dispatch is asynchronous, so ``stage()`` merely issues device_put and
+    returns; the transfer proceeds while the caller runs the current step.
+
+    Use:
+        staged = feed.current()          # device arrays staged last frame
+        feed.stage(depth_np, color_np)   # async H2D for the NEXT frame
+        out = pipe.step(*staged, ...)    # compute overlaps the transfer
+    """
+
+    def __init__(self):
+        self._current = None
+        self._next = None
+        self.timestamp = 0.0
+
+    def stage(self, depth: np.ndarray, color: np.ndarray, ts: float = 0.0):
+        import jax
+
+        self._next = (jax.device_put(depth), jax.device_put(color))
+        self.timestamp = ts
+
+    def current(self):
+        """Device arrays of the most recently completed stage (None until
+        two frames have been staged)."""
+        return self._current
+
+    def advance(self):
+        """Swap: the staged frame becomes current (call once per loop)."""
+        if self._next is not None:
+            self._current = self._next
+            self._next = None
+        return self._current
 
 
 class FeedbackSender:

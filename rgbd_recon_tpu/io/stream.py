@@ -46,9 +46,12 @@ class FrameFormat:
     def frame_size(self) -> int:
         return self.color_size + self.depth_size
 
-    def decode_color(self, payload: np.ndarray) -> np.ndarray:
-        """-> f32[Hc, Wc, 3] in [0, 1]. Uses the threaded native decoder
-        (io/native.py) when built, numpy otherwise — both bit-identical."""
+    def decode_color(self, payload: np.ndarray, as_float: bool = True) -> np.ndarray:
+        """-> f32[Hc, Wc, 3] in [0, 1] (or u8 with ``as_float=False`` — the
+        fast path: u8->f32 costs ~2x the DXT decode itself on the host and
+        quadruples H2D traffic; the device normalizes for free). Uses the
+        threaded native decoder (io/native.py) when built, numpy otherwise —
+        both bit-identical."""
         from . import native
 
         if self.compressed_rgb == 1:
@@ -58,6 +61,8 @@ class FrameFormat:
             img = native.best_decoder("dxt5")(payload, 640, 480)
         else:
             img = payload.reshape(self.height_c, self.width_c, 3)
+        if not as_float:
+            return img
         return img.astype(np.float32) / 255.0
 
     def decode_depth(self, payload: np.ndarray, near: float = 0.5, far: float = 4.5) -> np.ndarray:
@@ -75,9 +80,11 @@ class FrameFormat:
 class StreamReader:
     """Replays per-sensor ``.stream`` files (≙ C3 readFromFiles + C25)."""
 
-    def __init__(self, paths: Sequence[str], fmt: FrameFormat, looping: bool = True):
+    def __init__(self, paths: Sequence[str], fmt: FrameFormat, looping: bool = True,
+                 color_u8: bool = False):
         self.fmt = fmt
         self.looping = looping
+        self.color_u8 = color_u8
         self.paths = list(paths)
         self._files = [open(p, "rb") for p in paths]
         sizes = [os.fstat(f.fileno()).st_size for f in self._files]
@@ -101,7 +108,9 @@ class StreamReader:
         for f in self._files:
             buf = f.read(fmt.frame_size)
             raw = np.frombuffer(buf, np.uint8)
-            colors.append(fmt.decode_color(raw[: fmt.color_size]))
+            colors.append(
+                fmt.decode_color(raw[: fmt.color_size], as_float=not self.color_u8)
+            )
             depths.append(fmt.decode_depth(raw[fmt.color_size:]))
         self._frame += 1
         return np.stack(depths), np.stack(colors)

@@ -118,8 +118,9 @@ class ReconIntegration(Reconstruction):
         )
         mask = brick_ops.occupancy_mask(counts, self._min_voxels)
         ratio = brick_ops.occupied_ratio(mask)
-        vox_mask = brick_ops.voxel_occupancy(mask, self.brick_grid, self.tsdf_cfg.res)
-        mask16 = tsdf_fast.brick16_mask(vox_mask)
+        mask16 = brick_ops.block_occupancy(
+            mask, self.brick_grid, self.tsdf_cfg.res, tsdf_fast.BRICK
+        )
         if not self._use_bricks:
             mask16 = jnp.ones_like(mask16)
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.math import pmat
+
 from .base import Reconstruction, ReconContext
 from ..ops import splat as splat_ops
 from ..ops.preprocess import ProcessedFrames
@@ -59,8 +61,8 @@ class ReconPoints(Reconstruction):
             if self.shade_mode == 3:
                 shaded = jnp.broadcast_to(CAMERA_COLORS[k], color.shape)
             elif self.shade_mode == 1:
-                pos_es = world @ mv[:3, :3].T + mv[:3, 3]
-                n_es = normal @ mv[:3, :3].T
+                pos_es = pmat(world, mv[:3, :3].T) + mv[:3, 3]
+                n_es = pmat(normal, mv[:3, :3].T)
                 nn = jnp.linalg.norm(n_es, axis=-1, keepdims=True)
                 n_es = n_es / jnp.where(nn < 1e-20, 1.0, nn)
                 shaded = phong_shade(pos_es, n_es)

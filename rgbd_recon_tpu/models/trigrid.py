@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.math import pmat
+
 from .base import Reconstruction, ReconContext
 from ..ops import splat as splat_ops
 from ..ops.preprocess import ProcessedFrames
@@ -80,7 +82,7 @@ class ReconTrigrid(Reconstruction):
             valid = valid & in_box
 
             # backface cull via eye-space cell normal (gs:56 + fs:52-55)
-            pos_es = world @ mv[:3, :3].T + mv[:3, 3]
+            pos_es = pmat(world, mv[:3, :3].T) + mv[:3, 3]
             a = jnp.roll(pos_es, -1, axis=1) - pos_es
             b = jnp.roll(pos_es, -1, axis=0) - pos_es
             n_es = jnp.cross(a, b)

@@ -78,8 +78,11 @@ def mark_bricks(
         return (idx[:, 2] * by + idx[:, 1]) * bx + idx[:, 0]
 
     counts = jnp.zeros(bx * by * bz, jnp.uint32)
-    counts = counts.at[flat_id(index)].add(v.astype(jnp.uint32))
-    counts = counts.at[flat_id(neighbor)].add(neighbor_inc.astype(jnp.uint32))
+    ids = jnp.concatenate([flat_id(index), flat_id(neighbor)])
+    incs = jnp.concatenate(
+        [v.astype(jnp.uint32), neighbor_inc.astype(jnp.uint32)]
+    )
+    counts = counts.at[ids].add(incs)  # one fused scatter-add
     return counts.reshape(bz, by, bx)
 
 
@@ -94,20 +97,65 @@ def occupied_ratio(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(mask.astype(jnp.float32))
 
 
+def _axis_brick_index(grid: BrickGrid, n_vox: int, axis: int) -> np.ndarray:
+    """Host-side: brick index of each voxel center along one axis (x=0)."""
+    size = float(grid.bbox_max[axis] - grid.bbox_min[axis])
+    centers = (np.arange(n_vox) + 0.5) / n_vox * size
+    return np.clip(
+        (centers / grid.brick_size).astype(np.int32), 0, grid.res[axis] - 1
+    )
+
+
 def voxel_occupancy(mask: jnp.ndarray, grid: BrickGrid, vol_res: tuple[int, int, int]) -> jnp.ndarray:
     """Expand the brick mask to per-voxel bool[Vz, Vy, Vx]: voxel centers that
     fall in an occupied brick (the masked-integration analogue of the
     reference's per-occupied-brick VolumeSampler draws,
-    recon_integration.cpp:254-259). vol_res is (vx, vy, vz)."""
+    recon_integration.cpp:254-259). vol_res is (vx, vy, vz).
+
+    Separable nearest upsample as three tiny one-hot matmuls — a plain
+    ``mask[ix_(iz, iy, ix)]`` gather costs >200 ms at 256^3 on TPU; the
+    matmul form is bandwidth-bound (<5 ms)."""
     vx, vy, vz = vol_res
     bx, by, bz = grid.res
-    size = jnp.asarray(grid.bbox_max) - jnp.asarray(grid.bbox_min)
 
-    def centers(n, extent):
-        return (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * extent
+    def onehot(idx, n):
+        return jnp.asarray(
+            (idx[:, None] == np.arange(n)[None, :]).astype(np.float32)
+        )
 
-    # voxel center world offsets -> brick indices per axis
-    ix = jnp.clip((centers(vx, size[0]) / grid.brick_size).astype(jnp.int32), 0, bx - 1)
-    iy = jnp.clip((centers(vy, size[1]) / grid.brick_size).astype(jnp.int32), 0, by - 1)
-    iz = jnp.clip((centers(vz, size[2]) / grid.brick_size).astype(jnp.int32), 0, bz - 1)
-    return mask[jnp.ix_(iz, iy, ix)]
+    oz = onehot(_axis_brick_index(grid, vz, 2), bz)   # [vz, bz]
+    oy = onehot(_axis_brick_index(grid, vy, 1), by)
+    ox = onehot(_axis_brick_index(grid, vx, 0), bx)
+    m = mask.astype(jnp.float32)
+    m = jnp.einsum("Zb,byx->Zyx", oz, m, preferred_element_type=jnp.float32)
+    m = jnp.einsum("Yb,Zby->ZYy", oy, m, preferred_element_type=jnp.float32)
+    m = jnp.einsum("Xb,ZYb->ZYX", ox, m, preferred_element_type=jnp.float32)
+    return m > 0.5
+
+
+def block_occupancy(
+    mask: jnp.ndarray, grid: BrickGrid, vol_res: tuple[int, int, int],
+    block: int = 16,
+) -> jnp.ndarray:
+    """Direct brick-grid -> voxel-block mask: block (i, j, k) of
+    ``block``^3 voxels is occupied iff ANY of its voxel centers lies in an
+    occupied brick. Equals ``tsdf_fast.brick16_mask(voxel_occupancy(...))``
+    without materializing the voxel grid (the fast path only ever consumes
+    the block mask)."""
+    vx, vy, vz = vol_res
+    bx, by, bz = grid.res
+
+    def cover(n_vox, axis, nb):
+        idx = _axis_brick_index(grid, n_vox, axis).reshape(n_vox // block, block)
+        m = np.zeros((n_vox // block, nb), np.float32)
+        np.put_along_axis(m, idx, 1.0, axis=1)
+        return jnp.asarray(m)
+
+    cz = cover(vz, 2, bz)   # [vz/block, bz]
+    cy = cover(vy, 1, by)
+    cx = cover(vx, 0, bx)
+    m = mask.astype(jnp.float32)
+    m = jnp.einsum("Zb,byx->Zyx", cz, m, preferred_element_type=jnp.float32)
+    m = jnp.einsum("Yb,Zby->ZYy", cy, m, preferred_element_type=jnp.float32)
+    m = jnp.einsum("Xb,ZYb->ZYX", cx, m, preferred_element_type=jnp.float32)
+    return m > 0.5

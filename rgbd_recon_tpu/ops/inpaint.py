@@ -33,23 +33,32 @@ def inpaint_downsample(color: jnp.ndarray, depth: jnp.ndarray):
     """
     h, w = depth.shape
     h2, w2 = h // 2, w // 2
-    # pad by 1 on the leading edge and 2 on the trailing edge -> window [-1, 2]
-    cpad = jnp.pad(color, ((1, 2), (1, 2), (0, 0)), mode="edge")
-    dpad = jnp.pad(depth, ((1, 2), (1, 2)), mode="edge")
+    # pad by 1 on the leading edge and 2+parity on the trailing edge so both
+    # padded extents are even -> window offsets [-1..2] around the 2x2 child
+    py = 3 - (h & 1)
+    px = 3 - (w & 1)
+    cpad = jnp.pad(color, ((1, py), (1, px), (0, 0)), mode="edge")
+    dpad = jnp.pad(depth, ((1, py), (1, px)), mode="edge")
+    hp, wp = cpad.shape[0] // 2, cpad.shape[1] // 2
+    # reshape-parity tap extraction: offset oy = 2*(block shift) + parity, so
+    # each tap is a contiguous block slice + a fixed parity index — no
+    # stride-2 slicing on the minor (lane) axis
+    cq = cpad.reshape(hp, 2, wp, 2, 4)
+    dq = dpad.reshape(hp, 2, wp, 2)
 
     cols = []
     deps = []
-    holes = []
     for oy in range(4):
+        sy, ry = divmod(oy, 2)
         for ox in range(4):
-            c = cpad[oy : oy + h : 2, ox : ox + w : 2][:h2, :w2]
-            d = dpad[oy : oy + h : 2, ox : ox + w : 2][:h2, :w2]
+            sx, rx = divmod(ox, 2)
+            c = cq[sy : sy + h2, ry, sx : sx + w2, rx]
+            d = dq[sy : sy + h2, ry, sx : sx + w2, rx]
             cols.append(c)
             deps.append(d)
-            holes.append(c[..., 3] <= 0.0)
     cols = jnp.stack(cols)          # [16, h2, w2, 4]
     deps = jnp.stack(deps)          # [16, h2, w2]
-    holes = jnp.stack(holes)
+    holes = cols[..., 3] <= 0.0
 
     nonhole = ~holes
     cnt = jnp.sum(nonhole, axis=0)
@@ -64,8 +73,9 @@ def inpaint_downsample(color: jnp.ndarray, depth: jnp.ndarray):
     c_out = jnp.concatenate([c_out[..., :3], jnp.ones_like(c_out[..., 3:4])], axis=-1)
 
     # all-hole windows (tsdf_inpaint.fs:59-68): keep the center depth; mark
-    # r=-1 holes in front of geometry, background otherwise
-    d_center = depth[::2, ::2][:h2, :w2]
+    # r=-1 holes in front of geometry, background otherwise.
+    # depth[2i, 2j] == dpad[1 + 2i, 1 + 2j] -> block i, parity 1
+    d_center = dq[:h2, 1, :w2, 1]
     empty = cnt == 0
     hole_color = jnp.where(
         (d_center < 1.0)[..., None],
@@ -130,7 +140,15 @@ def colorfill(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarr
     any_valid = jnp.any(valid, axis=0)
     first = jnp.where(any_valid, first, n - 1)
 
-    base = jnp.take_along_axis(stack, first[None, ..., None], axis=0)[0]
+    def select_by_first(arr):
+        # per-pixel pick arr[first] as a select chain (take_along_axis is a
+        # serialized per-element gather on TPU)
+        out = arr[n - 1]
+        for l in range(n - 2, -1, -1):
+            out = jnp.where((first == l)[..., None], arr[l], out)
+        return out
+
+    base = select_by_first(stack)
 
     # blend of lods (first+1, first+2) with the reference's quirky weights
     # (tsdf_colorfill.fs:42-51: w1 = distance(texcoord, floor(texcoord))).
@@ -154,7 +172,7 @@ def colorfill(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarr
         c2 = upsampled[l2]
         blends.append((c1 * w1[..., None] + c2 * w2[..., None]) / (w1 + w2)[..., None])
     blend_stack = jnp.stack(blends)
-    blended = jnp.take_along_axis(blend_stack, first[None, ..., None], axis=0)[0]
+    blended = select_by_first(blend_stack)
 
     out = jnp.where((first > 0)[..., None], blended, base)
     # background keeps the (transparent) miss pixel; only holes in front of

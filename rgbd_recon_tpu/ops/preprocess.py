@@ -417,7 +417,12 @@ def preprocess(
     """Full preprocessing chain (NetKinectArray::processTextures order).
 
     ``warp``: baked PixelWarp for gather-free calibration lookups (pass
-    ops.warp.bake_pixel_warp(rig, H, W)); None = exact gather oracle."""
+    ops.warp.bake_pixel_warp(rig, H, W)); None = exact gather oracle.
+
+    ``color`` may be u8 (the ingest fast path keeps color u8 on the host —
+    4x less H2D traffic; normalization fuses into the first device op)."""
+    if color.dtype == jnp.uint8:
+        color = color.astype(jnp.float32) / 255.0
     morphed = morph_dilate(depth_m)
     feed = morphed if cfg.use_processed_depth else depth_m
     depth2, color_lab, color_reg = bilateral_lab(feed, color, rig, cfg, warp)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from .sample import sample2d, sample3d
 from .preprocess import ProcessedFrames
 from ..calibration.rig import RigCalibration
-from ..utils.math import Bbox
+from ..utils.math import Bbox, pmat
 
 # shading constants (glsl/shading.glsl:4-12)
 _LIGHT_POSITION = jnp.array([1.5, 1.0, 1.0], jnp.float32)
@@ -76,19 +76,20 @@ def vol_to_world_matrix(bbox: Bbox) -> np.ndarray:
 def _ray_grid(cam: RenderCamera, vol_to_world: jnp.ndarray):
     """Per-pixel ray origin (camera position) and direction in volume space."""
     w, h = cam.width, cam.height
-    mvp = cam.proj @ cam.modelview @ vol_to_world
+    # precise matmuls: far-plane w cancels to 0 under TPU bf16 defaults
+    mvp = pmat(cam.proj, pmat(cam.modelview, vol_to_world))
     inv = jnp.linalg.inv(mvp)
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
     ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
     xx, yy = jnp.meshgrid(xs, ys, indexing="xy")
     ndc_near = jnp.stack([xx, yy, -jnp.ones_like(xx), jnp.ones_like(xx)], -1)
     ndc_far = jnp.stack([xx, yy, jnp.ones_like(xx), jnp.ones_like(xx)], -1)
-    p_near = ndc_near @ inv.T
-    p_far = ndc_far @ inv.T
+    p_near = pmat(ndc_near, inv.T)
+    p_far = pmat(ndc_far, inv.T)
     p_near = p_near[..., :3] / p_near[..., 3:4]
     p_far = p_far[..., :3] / p_far[..., 3:4]
     # camera position in volume space
-    mv_inv = jnp.linalg.inv(cam.modelview @ vol_to_world)
+    mv_inv = jnp.linalg.inv(pmat(cam.modelview, vol_to_world))
     cam_pos = (mv_inv @ jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32))[:3]
     d = p_far - p_near
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
@@ -334,12 +335,12 @@ def render(
 
     v2w = jnp.asarray(vol_to_world_matrix(bbox))
     normal_vol = gradient_normal(tsdf, pos, limit)
-    mv = cam.modelview @ v2w
+    mv = pmat(cam.modelview, v2w)
     # NormalMatrix in the reference is the modelview-rotation
-    normal_view = normal_vol @ cam.modelview[:3, :3].T
+    normal_view = pmat(normal_vol, cam.modelview[:3, :3].T)
     nn = jnp.linalg.norm(normal_view, axis=-1, keepdims=True)
     normal_view = normal_view / jnp.where(nn < 1e-20, 1.0, nn)
-    view_pos = pos @ mv[:3, :3].T + mv[:3, 3]
+    view_pos = pmat(pos, mv[:3, :3].T) + mv[:3, 3]
 
     if params.shade_mode == 1:
         rgb = phong_shade(view_pos, normal_view)

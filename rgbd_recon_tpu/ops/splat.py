@@ -26,6 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.math import pmat
+
 from .raymarch import RenderCamera, CAMERA_COLORS, phong_shade
 
 
@@ -38,8 +40,8 @@ def project(world: jnp.ndarray, cam: RenderCamera):
     """World points [..., 3] -> (pixel xy f32[..., 2], view pos [..., 3],
     ndc z, in-frustum mask)."""
     mv = cam.modelview
-    pos_es = world @ mv[:3, :3].T + mv[:3, 3]
-    clip = jnp.concatenate([pos_es, jnp.ones_like(pos_es[..., :1])], -1) @ cam.proj.T
+    pos_es = pmat(world, mv[:3, :3].T) + mv[:3, 3]
+    clip = pmat(jnp.concatenate([pos_es, jnp.ones_like(pos_es[..., :1])], -1), cam.proj.T)
     w = clip[..., 3]
     safe_w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
     ndc = clip[..., :3] / safe_w[..., None]

@@ -41,6 +41,11 @@ from .tsdf import TsdfConfig
 from ..calibration.rig import RigCalibration
 
 BRICK = 16          # voxels per brick edge
+# matmul precision for the depth/silhouette channels in sample_brick: the
+# TPU bf16 default cannot carry the TSDF band (±2e-3 normalized depth) or
+# the 0.9999 silhouette gate; bf16x3 (HIGH) gives ~2^-14 relative error at
+# 3 passes — sufficient for the 1e-3 parity bar at half the cost of HIGHEST
+PRECISE_CHANNELS_PRECISION = jax.lax.Precision.HIGH
 # silhouette "fully inside" test: the shader compares sil < 1.0 against the
 # GL interpolator (exact on constant windows); float matmul accumulation
 # needs an epsilon
@@ -70,9 +75,16 @@ def resize3d_gl(vol: jnp.ndarray, out_res: tuple[int, int, int]) -> jnp.ndarray:
     wd = _gl_resize_weights(vol.shape[0], d2)
     wh = _gl_resize_weights(vol.shape[1], h2)
     ww = _gl_resize_weights(vol.shape[2], w2)
-    out = jnp.einsum("Dd,dhwc->Dhwc", wd, vol, preferred_element_type=jnp.float32)
-    out = jnp.einsum("Hh,Dhwc->DHwc", wh, out, preferred_element_type=jnp.float32)
-    out = jnp.einsum("Ww,DHwc->DHWc", ww, out, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the resized values are sensor coordinates/depths —
+    # TPU bf16 matmul defaults would put ~2e-3 error on them (≈ the whole
+    # TSDF truncation band in normalized depth). Bake-time only.
+    prec = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("Dd,dhwc->Dhwc", wd, vol,
+                     preferred_element_type=jnp.float32, precision=prec)
+    out = jnp.einsum("Hh,Dhwc->DHwc", wh, out,
+                     preferred_element_type=jnp.float32, precision=prec)
+    out = jnp.einsum("Ww,DHwc->DHWc", ww, out,
+                     preferred_element_type=jnp.float32, precision=prec)
     return out
 
 
@@ -224,18 +236,27 @@ def integrate_sparse(
 
         rows_l = _hat(vy_l, win)        # [B3, win]
         rows_n = _onehot(vy_n, win)     # [B3, win]
-        # one matmul for the 5 linear channels, one for nearest depth
+        # precision split: depth (the TSDF signal, band ±2e-3 normalized)
+        # and silhouette (gated at 0.9999) cannot survive the TPU bf16
+        # matmul default; quality/rgb can. The second contraction is an
+        # elementwise mul+sum (f32 exact on the VPU).
+        prec = PRECISE_CHANNELS_PRECISION
         lin = jnp.dot(
-            rows_l, wnd.reshape(win, win * 6), preferred_element_type=jnp.float32
-        ).reshape(b3, win, 6)
-        near = jnp.dot(rows_n, wnd[:, :, 0], preferred_element_type=jnp.float32)
+            rows_l,
+            jnp.concatenate([wnd[:, :, 1:2], wnd[:, :, 3:6]], -1).reshape(win, win * 4),
+            preferred_element_type=jnp.float32,
+        ).reshape(b3, win, 4)
+        sil_rows = jnp.dot(rows_l, wnd[:, :, 2],
+                           preferred_element_type=jnp.float32, precision=prec)
+        near = jnp.dot(rows_n, wnd[:, :, 0],
+                       preferred_element_type=jnp.float32, precision=prec)
 
         cols_l = _hat(ux_l, win)
         cols_n = _onehot(ux_n, win)
         depth = jnp.sum(near * cols_n, axis=-1)
-        qual = jnp.sum(lin[:, :, 1] * cols_l, axis=-1)
-        sil = jnp.sum(lin[:, :, 2] * cols_l, axis=-1)
-        rgb = jnp.einsum("bwc,bw->bc", lin[:, :, 3:6], cols_l)
+        qual = jnp.sum(lin[:, :, 0] * cols_l, axis=-1)
+        sil = jnp.sum(sil_rows * cols_l, axis=-1)
+        rgb = jnp.einsum("bwc,bw->bc", lin[:, :, 1:4], cols_l)
 
         cv = corner_vals[k]
         depth = jnp.where(invalid, cv[0], depth)
@@ -244,9 +265,11 @@ def integrate_sparse(
         rgb = jnp.where(invalid[:, None], cv[3:6], rgb)
         return depth, qual, sil, rgb
 
-    def body(carry, inp):
-        vol, cvol = carry
-        bid, bvalid = inp
+    def brick_block(bid):
+        """One occupied brick -> (tsdf block, color block, start indices).
+        Batched over the occupied list with vmap (the round-1 lax.scan over
+        bricks serialized ~1024 small matmul steps; batching keeps the MXU
+        fed and assembles the volume with ONE block scatter)."""
         bz = bid // (nb_y * nb_x)
         by = (bid // nb_x) % nb_y
         bx = bid % nb_x
@@ -304,14 +327,27 @@ def integrate_sparse(
 
         block = wt.reshape(BRICK, BRICK, BRICK)
         cblock = cblock.reshape(BRICK, BRICK, BRICK, 4)
+        return block, cblock, jnp.stack([z0, y0, x0])
 
-        cur = jax.lax.dynamic_slice(vol, (z0, y0, x0), (BRICK, BRICK, BRICK))
-        ccur = jax.lax.dynamic_slice(cvol, (z0, y0, x0, 0), (BRICK, BRICK, BRICK, 4))
-        block = jnp.where(bvalid, block, cur)
-        cblock = jnp.where(bvalid, cblock, ccur)
-        vol = jax.lax.dynamic_update_slice(vol, block, (z0, y0, x0))
-        cvol = jax.lax.dynamic_update_slice(cvol, cblock, (z0, y0, x0, 0))
-        return (vol, cvol), None
+    blocks, cblocks, starts = jax.vmap(brick_block)(idx_list)
 
-    (vol, cvol), _ = jax.lax.scan(body, (vol0, cvol0), (idx_list, valid_list))
+    # assemble with one block scatter; invalid entries get out-of-bounds
+    # starts and are DROPPED (valid starts are unique by construction)
+    oob = jnp.array([vz, vy, vx], jnp.int32)
+    starts = jnp.where(valid_list[:, None], starts.astype(jnp.int32), oob)
+    dn3 = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+    dn4 = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3, 4), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+    mode = jax.lax.GatherScatterMode.FILL_OR_DROP
+    vol = jax.lax.scatter(
+        vol0, starts, blocks, dn3, unique_indices=True, mode=mode
+    )
+    cvol = jax.lax.scatter(
+        cvol0, starts, cblocks, dn4, unique_indices=True, mode=mode
+    )
     return vol, cvol

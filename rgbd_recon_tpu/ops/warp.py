@@ -171,17 +171,33 @@ def sample2d_blocked(
     window-edge values if a tile's true footprint overflows ``window``
     (callers size the window from the rig's registration geometry).
     """
+    hc, wc, _ = img.shape
+    # pixel-space sample positions (GL LINEAR: t*N - 0.5, clamped)
+    fx = jnp.clip(coords[..., 0] * wc - 0.5, 0.0, wc - 1.0)
+    fy = jnp.clip(coords[..., 1] * hc - 0.5, 0.0, hc - 1.0)
+    return sample2d_blocked_px(img, fy, fx, tile, window)
+
+
+def sample2d_blocked_px(
+    img: jnp.ndarray,
+    fy: jnp.ndarray,
+    fx: jnp.ndarray,
+    tile: tuple[int, int] = (16, 32),
+    window: tuple[int, int] = (96, 128),
+    precision=None,
+) -> jnp.ndarray:
+    """``sample2d_blocked`` core with PIXEL-space fractional coordinates
+    (fy, fx each [H, W], already clamped into [0, dim-1]). ``precision``:
+    pass jax.lax.Precision.HIGHEST when sampled channels carry geometry
+    (depth/coordinates) — TPU bf16 matmul default is fine for color only."""
     hc, wc, cch = img.shape
-    h, w, _ = coords.shape
+    h, w = fy.shape
     ty, tx = tile
-    wh, ww = window
+    wh, ww = min(window[0], hc), min(window[1], wc)
     assert h % ty == 0 and w % tx == 0, (h, w, tile)
     nty, ntx = h // ty, w // tx
     p = ty * tx
 
-    # pixel-space sample positions (GL LINEAR: t*N - 0.5, clamped)
-    fx = jnp.clip(coords[..., 0] * wc - 0.5, 0.0, wc - 1.0)
-    fy = jnp.clip(coords[..., 1] * hc - 0.5, 0.0, hc - 1.0)
     fx = fx.reshape(nty, ty, ntx, tx).transpose(0, 2, 1, 3).reshape(-1, p)
     fy = fy.reshape(nty, ty, ntx, tx).transpose(0, 2, 1, 3).reshape(-1, p)
 
@@ -200,8 +216,11 @@ def sample2d_blocked(
         wyh = jnp.clip(1.0 - jnp.abs(ry[:, None] - iy), 0.0, 1.0)   # [p, wh]
         wxh = jnp.clip(1.0 - jnp.abs(rx[:, None] - ix), 0.0, 1.0)   # [p, ww]
         t = jnp.dot(wyh, wnd.reshape(wh, ww * cch),
-                    preferred_element_type=jnp.float32).reshape(p, ww, cch)
-        return jnp.einsum("pwc,pw->pc", t, wxh, preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=precision).reshape(p, ww, cch)
+        return jnp.einsum("pwc,pw->pc", t, wxh,
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
 
     out = jax.vmap(per_tile)(fx, fy, x0, y0)      # [T, p, C]
     out = out.reshape(nty, ntx, ty, tx, cch).transpose(0, 2, 1, 3, 4)

@@ -202,20 +202,24 @@ class FramePipeline:
         frames = pp.preprocess(depth_m, color, rig, self.pre_cfg, warp)
         mask = None
         vox_mask = None
+        mask16 = None
         occupied = jnp.float32(1.0)
         if cfg.use_bricks:
             counts = brick_ops.mark_bricks(
                 frames.world, frames.world_valid, self.brick_grid
             )
             mask = brick_ops.occupancy_mask(counts, cfg.min_voxels_per_brick)
-            vox_mask = brick_ops.voxel_occupancy(
-                mask, self.brick_grid, self.tsdf_cfg.res
-            )
             occupied = brick_ops.occupied_ratio(mask)
-        if self.use_fast:
-            mask16 = tsdf_fast.brick16_mask(vox_mask)
-        else:
-            mask16 = None
+            if self.use_fast:
+                # the fast path consumes only the 16^3-block mask — the
+                # full voxel grid is never materialized
+                mask16 = brick_ops.block_occupancy(
+                    mask, self.brick_grid, self.tsdf_cfg.res, tsdf_fast.BRICK
+                )
+            else:
+                vox_mask = brick_ops.voxel_occupancy(
+                    mask, self.brick_grid, self.tsdf_cfg.res
+                )
         return frames, mask, vox_mask, mask16, occupied
 
     def _integrate_impl(self, frames, mask16, tables):

@@ -80,3 +80,17 @@ def transform_point(mat: np.ndarray, p: np.ndarray) -> np.ndarray:
     """Apply a 4x4 row-major matrix to a 3-point with w-divide."""
     ph = mat @ np.append(np.asarray(p, np.float64), 1.0)
     return (ph[:3] / ph[3]).astype(np.float32)
+
+
+def pmat(a, b):
+    """Precise matmul for small camera/point algebra.
+
+    TPU matmuls default to bf16 multiplications; projective math (e.g.
+    unprojecting the far plane, where w is a near-cancellation of terms)
+    collapses to 0/NaN at bf16. All 4x4 matrix products and point/normal
+    transforms go through this f32-exact product — the cost is negligible
+    (K<=4 contractions are bandwidth-bound anyway)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)

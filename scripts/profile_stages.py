@@ -1,83 +1,159 @@
-"""Per-stage timing on the live device (run directly on TPU)."""
+#!/usr/bin/env python
+"""Per-op microbenchmarks of the frame pipeline on the current backend.
+
+Times each sub-stage as its own jitted function over varied pre-staged
+inputs (a memoizing backend would fake repeats of identical calls).
+Env: PROF_TSDF=256 PROF_SENSORS=4 PROF_RENDER=1280x720 PROF_ITERS=10
+"""
 import os
 import sys
 import time
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from rgbd_recon_tpu.utils.math import Bbox
-from rgbd_recon_tpu.calibration import synthetic
-from rgbd_recon_tpu.ops import preprocess as pp
-from rgbd_recon_tpu.ops import tsdf as tsdf_ops
-from rgbd_recon_tpu.ops import bricks as brick_ops
-from rgbd_recon_tpu.ops import raymarch as rm
-from rgbd_recon_tpu.ops import inpaint
-from rgbd_recon_tpu.utils.math import look_at, perspective
-
-TSDF_N = int(os.environ.get("P_TSDF", "128"))
-K = int(os.environ.get("P_SENSORS", "4"))
-RW, RH = (int(v) for v in os.environ.get("P_RENDER", "640x360").split("x"))
-ITERS = int(os.environ.get("P_ITERS", "3"))
-
-bbox = Bbox.default()
-rig, cams = synthetic.synthetic_rig(
-    num_sensors=K, bbox=bbox, fwd_res=(64, 128, 64), inv_res=(64, 64, 64),
-    width=512, height=424,
-)
-scene = synthetic.SphereScene.default(bbox)
-depth, color = synthetic.render_frames(cams, scene)
-d = jnp.asarray(depth)
-c = jnp.asarray(color)
-
-cfg = tsdf_ops.TsdfConfig((TSDF_N,) * 3, 0.01)
-grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / TSDF_N))
-center = (bbox.min + bbox.max) * 0.5
-eye = center + np.array([1.5, 0.8, 2.2], np.float32)
-mv = jnp.asarray(look_at(eye, center, [0, 1, 0]))
-proj = jnp.asarray(perspective(50.0, RW / RH, 0.1, 200.0))
-cam = rm.RenderCamera(mv, proj, RW, RH)
-bsz_vol = grid.brick_size / float(np.max(bbox.size))
+import numpy as np
 
 
-def timeit(name, fn, *args):
-    f = jax.jit(fn)
-    t0 = time.time()
-    out = f(*args)
-    jax.block_until_ready(out)
-    compile_t = time.time() - t0
-    t0 = time.time()
-    for _ in range(ITERS):
-        out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / ITERS * 1e3
-    print(f"{name:24s} {dt:9.1f} ms   (compile {compile_t:.1f}s)")
+def timeit(name, fn, args_list, iters):
+    """Honest remote-backend timing: block_until_ready does not wait for
+    remote execution, so drain with a host read and difference two loop
+    lengths to cancel the read's RTT."""
+    import jax
+    import numpy as np
+
+    out = fn(*args_list[0])  # compile
+
+    def first_leaf(o):
+        return jax.tree_util.tree_leaves(o)[0]
+
+    float(np.asarray(first_leaf(out)).ravel()[0])
+
+    def run(n):
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        carry = jnp.float32(0.0)
+        for i in range(n):
+            o = fn(*args_list[i % len(args_list)])
+            # accumulate one element of every output on device: each
+            # iteration's result is consumed, none can be elided
+            carry = carry + sum(
+                jnp.ravel(l)[0].astype(jnp.float32)
+                for l in jax.tree_util.tree_leaves(o)[:2]
+            )
+        float(np.asarray(carry))
+        return time.perf_counter() - t0
+
+    n_small = max(2, iters // 4)
+    t_small = run(n_small)
+    t_full = run(iters)
+    dt = (t_full - t_small) / (iters - n_small) * 1e3
+    print(f"{name:28s} {dt:8.2f} ms")
     return out
 
 
-frames = timeit("preprocess", lambda d_, c_: pp.preprocess(d_, c_, rig), d, c)
-counts = timeit("mark_bricks", lambda f: brick_ops.mark_bricks(f.world, f.world_valid, grid), frames)
-mask = brick_ops.occupancy_mask(counts, 10)
-vox_mask = brick_ops.voxel_occupancy(mask, grid, cfg.res)
-vol = timeit("integrate", lambda f, m: tsdf_ops.integrate(f, rig, cfg, m), frames, vox_mask)
-cvol = timeit("integrate_colors", lambda f, m: tsdf_ops.integrate_colors(f, rig, cfg, m), frames, vox_mask)
-res = timeit("march(dense)", lambda v: rm.march(v, cam, bbox, cfg.limit), vol)
-res = timeit(
-    "march(skip)",
-    lambda v, m: rm.march(v, cam, bbox, cfg.limit, brick_mask=m, brick_size_vol=bsz_vol),
-    vol, mask,
-)
-out = timeit(
-    "render(full)",
-    lambda v, cv, f, m: rm.render(v, cv, f, rig, cam, bbox, cfg.limit, brick_mask=m, brick_size_vol=bsz_vol),
-    vol, cvol, frames, mask,
-)
-filled = timeit(
-    "holefill",
-    lambda o: inpaint.colorfill(*inpaint.build_pyramid(o.color, o.depth, 6)),
-    out,
-)
-print("hit frac", float(np.asarray(out.hit).mean()))
+def main():
+    tsdf_n = int(os.environ.get("PROF_TSDF", "256"))
+    k = int(os.environ.get("PROF_SENSORS", "4"))
+    rw, rh = (int(v) for v in os.environ.get("PROF_RENDER", "1280x720").split("x"))
+    iters = int(os.environ.get("PROF_ITERS", "10"))
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass
+
+    from rgbd_recon_tpu.utils.math import Bbox
+    from rgbd_recon_tpu.calibration import synthetic
+    from rgbd_recon_tpu.runtime.pipeline import FramePipeline, PipelineConfig
+    from rgbd_recon_tpu.ops import preprocess as pp
+    from rgbd_recon_tpu.ops import bricks as brick_ops
+    from rgbd_recon_tpu.ops import tsdf_fast, raymarch_fast as rmf, raymarch as rm
+    from rgbd_recon_tpu.ops import inpaint
+
+    bbox = Bbox.default()
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=k, bbox=bbox, fwd_res=(128, 256, 128), inv_res=(128, 128, 128),
+        width=512, height=424,
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    pipe = FramePipeline(
+        rig,
+        PipelineConfig(
+            render_width=rw, render_height=rh, tsdf_res=(tsdf_n,) * 3,
+            voxel_size=float(np.max(bbox.size) / tsdf_n), brick_size=0.1,
+        ),
+        table_cache_dir=cache,
+    )
+    mv, proj = pipe.default_camera()
+    warp = pipe._get_warp(424, 512)
+    rng = np.random.default_rng(0)
+    nbuf = 4
+    ds = [jnp.asarray(depth + rng.uniform(0, 2e-3, depth.shape).astype(np.float32)) for _ in range(nbuf)]
+    cs = [jnp.asarray(np.clip(color + rng.uniform(0, 1e-2, color.shape).astype(np.float32), 0, 1)) for _ in range(nbuf)]
+
+    print(f"== config: {tsdf_n}^3, {k} sensors, {rw}x{rh}, backend {jax.default_backend()}")
+
+    # --- preprocess pieces
+    jm = jax.jit(pp.morph_dilate)
+    morphed = timeit("morph_dilate", jm, [(d,) for d in ds], iters)
+    jb = jax.jit(lambda d, c: pp.bilateral_lab(d, c, rig, pipe.pre_cfg, warp))
+    b_out = timeit("bilateral_lab(warp)", jb, list(zip(ds, cs)), iters)
+    depth2, lab, reg = b_out
+    jbo = jax.jit(lambda d2, l: pp.boundary(d2, l, pipe.pre_cfg))
+    bo = timeit("boundary", jbo, [(depth2, lab)], iters)
+    depth_b, sil = bo
+    jn = jax.jit(lambda db_: pp.normals(db_, rig, warp))
+    nrm_out = timeit("normals(warp)", jn, [(depth_b,)], iters)
+    nrm, world, world_valid = nrm_out
+    jq = jax.jit(lambda db_, n_: pp.quality(db_, n_, rig, warp))
+    timeit("quality(warp)", jq, [(depth_b, nrm)], iters)
+    jpre = jax.jit(lambda d, c: pp.preprocess(d, c, rig, pipe.pre_cfg, warp))
+    frames = timeit("preprocess(all)", jpre, list(zip(ds, cs)), iters)
+
+    # --- bricks
+    jmark = jax.jit(lambda w_, v_: brick_ops.mark_bricks(w_, v_, pipe.brick_grid))
+    counts = timeit("mark_bricks", jmark, [(world, world_valid)], iters)
+    jmask = jax.jit(lambda c_: brick_ops.occupancy_mask(c_, 10))
+    mask = timeit("occupancy_mask", jmask, [(counts,)], iters)
+    jvox = jax.jit(lambda m_: brick_ops.voxel_occupancy(m_, pipe.brick_grid, pipe.tsdf_cfg.res))
+    vox = timeit("voxel_occupancy", jvox, [(mask,)], iters)
+    j16 = jax.jit(tsdf_fast.brick16_mask)
+    mask16 = timeit("brick16_mask", j16, [(vox,)], iters)
+
+    # --- integrate
+    jint = jax.jit(lambda f_, m_, t_: tsdf_fast.integrate_sparse(
+        f_, t_, pipe.tsdf_cfg, m_, max_bricks=min(1024, (tsdf_n // 16) ** 3),
+        window=pipe.cfg.sample_window))
+    intout = timeit("integrate_sparse", jint, [(frames, mask16, pipe.tables)], iters)
+    vol, cvol = intout
+
+    # --- render
+    axis, flip = 2, True
+    n_slices = pipe.tsdf_cfg.res[axis]
+    jocc = jax.jit(lambda m_: rmf.slab_occupancy(m_, axis, n_slices))
+    occ = timeit("slab_occupancy", jocc, [(mask16,)], iters)
+    cam = rm.RenderCamera(jnp.asarray(mv), jnp.asarray(proj), rw, rh)
+    jsw = jax.jit(lambda v_, c_, o_: rmf.sweep(
+        v_, c_, cam, bbox, pipe.tsdf_cfg.limit, axis, flip,
+        rmf.SweepConfig(res=pipe._sweep_res()), o_))
+    timeit("sweep(only)", jsw, [(vol, cvol, occ)], iters)
+    jr = jax.jit(lambda v_, c_, o_: rmf.render_fast(
+        v_, c_, cam, bbox, pipe.tsdf_cfg.limit, axis, flip,
+        rm.RenderParams(), rmf.SweepConfig(res=pipe._sweep_res()), o_))
+    out = timeit("render_fast(full)", jr, [(vol, cvol, occ)], iters)
+
+    # --- holefill
+    jpyr = jax.jit(lambda c_, d_: inpaint.build_pyramid(c_, d_, 6))
+    pyr = timeit("build_pyramid", jpyr, [(out.color, out.depth)], iters)
+    jcf = jax.jit(lambda pc, pd: inpaint.colorfill(pc, pd))
+    timeit("colorfill", jcf, [(pyr[0], pyr[1])], iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,3 +128,25 @@ def test_color_volume_matches_scene_colors(small_rig):
     err = np.abs(cols[ok][:, :3] - base * 0.3) .mean()  # shade >= 0.3 of base
     # loose sanity: red channel dominates for the red sphere
     assert np.mean(cols[ok][:, 0] > cols[ok][:, 2]) > 0.8, err
+
+
+def test_block_occupancy_matches_voxel_path(small_rig):
+    """block_occupancy == brick16_mask(voxel_occupancy(...)) exactly."""
+    import jax.numpy as jnp
+    from rgbd_recon_tpu.ops import bricks as brick_ops
+    from rgbd_recon_tpu.ops import tsdf_fast, preprocess as pp
+
+    rig = small_rig["rig"]
+    bbox = small_rig["bbox"]
+    frames = pp.preprocess(
+        jnp.asarray(small_rig["depth"]), jnp.asarray(small_rig["color"]), rig
+    )
+    grid = brick_ops.make_brick_grid(bbox, 0.17, 0.05)  # non-multiple sizes
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask = brick_ops.occupancy_mask(counts, 5)
+    res = (48, 48, 48)
+    vox = brick_ops.voxel_occupancy(mask, grid, res)
+    ref16 = tsdf_fast.brick16_mask(vox)
+    got16 = brick_ops.block_occupancy(mask, grid, res, tsdf_fast.BRICK)
+    np.testing.assert_array_equal(np.asarray(ref16), np.asarray(got16))
+    assert np.asarray(got16).any()
