@@ -121,10 +121,11 @@ def bench_rung(tsdf_n: int, num_sensors: int, rw: int, rh: int, iters: int,
         return time.time() - t0
 
     run_loop(2)  # warm any remaining variants
-    t_small = run_loop(max(2, iters // 4))
-    t_full = run_loop(iters)
-    # subtract the fixed host-read RTT via two loop lengths
-    dt = (t_full - t_small) / (iters - max(2, iters // 4))
+    # the drain read carries a noisy fixed RTT; min-over-trials at two loop
+    # lengths cancels it
+    t_one = min(run_loop(1) for _ in range(3))
+    t_full = min(run_loop(iters) for _ in range(2))
+    dt = (t_full - t_one) / (iters - 1)
     fps = 1.0 / max(dt, 1e-9)
     log(f"rung {tsdf_n}: steady-state {dt*1e3:.1f} ms/frame = {fps:.2f} fps "
         f"(total rung time {time.time()-t_rung:.0f}s)")

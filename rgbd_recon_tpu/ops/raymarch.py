@@ -123,6 +123,7 @@ def march(
     params: RenderParams = RenderParams(),
     brick_mask: jnp.ndarray | None = None,
     brick_size_vol: float | None = None,
+    brick_extent: jnp.ndarray | None = None,
 ) -> RaymarchResult:
     """Fixed-trip masked raymarch (tsdf_raymarch.fs:62-114).
 
@@ -130,6 +131,12 @@ def march(
     equivalent of the reference's MIN-blend depth peel
     (recon_integration.cpp:408-428) is a cheap coarse march over the brick
     occupancy grid that yields per-pixel entry/exit distances.
+
+    ``brick_extent``: per-axis (x, y, z) span of the brick grid in volume
+    units — ``res * snapped_brick_size / bbox.size`` — which exceeds 1 when
+    the brick size does not divide the bbox (make_brick_grid ceil-rounds);
+    without it the coarse lookup misaligns by up to one brick at the far
+    faces.
     """
     sample_distance = limit * 0.5  # fs:34
     v2w = jnp.asarray(vol_to_world_matrix(bbox))
@@ -150,12 +157,17 @@ def march(
         t_entry = jnp.full(t_near.shape, jnp.inf)
         t_exit = jnp.full(t_near.shape, -jnp.inf)
 
+        extent = (
+            jnp.asarray(brick_extent, jnp.float32)
+            if brick_extent is not None else jnp.ones(3, jnp.float32)
+        )
+
         def coarse_body(i, carry):
             te, tx = carry
             t = t_near + (i + 0.5) * coarse_step
             pos = origin + step_vec * t[..., None]
             inside = jnp.all((pos >= 0.0) & (pos <= 1.0), axis=-1) & (t <= t_far)
-            o = sample3d(occ, pos, method="nearest")[..., 0] > 0.5
+            o = sample3d(occ, pos / extent, method="nearest")[..., 0] > 0.5
             hit = inside & o
             te = jnp.where(hit, jnp.minimum(te, t - coarse_step), te)
             tx = jnp.where(hit, jnp.maximum(tx, t + coarse_step), tx)
@@ -316,11 +328,13 @@ def render(
     params: RenderParams = RenderParams(),
     brick_mask: jnp.ndarray | None = None,
     brick_size_vol: float | None = None,
+    brick_extent: jnp.ndarray | None = None,
     exact_colors: bool = False,
 ) -> RenderOutput:
     """Full draw (≙ ReconIntegration::draw, recon_integration.cpp:176-240):
     march, refine, shade, write color + window-space depth."""
-    res = march(tsdf, cam, bbox, limit, params, brick_mask, brick_size_vol)
+    res = march(tsdf, cam, bbox, limit, params, brick_mask, brick_size_vol,
+                brick_extent)
     pos = res.position
 
     if params.shade_mode == 3:

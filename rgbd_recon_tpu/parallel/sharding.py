@@ -91,11 +91,14 @@ def sharded_step(pipe, mesh: Mesh):
 
         cam = rm.RenderCamera(modelview, proj, cfg.render_width, cfg.render_height)
         bsz_vol = pipe.brick_grid.brick_size / float(np.max(pipe.bbox.size))
+        bext = np.asarray(pipe.brick_grid.res, np.float32) \
+            * pipe.brick_grid.brick_size / pipe.bbox.size.astype(np.float32)
         out = rm.render(
             vol, cvol, frames, rig, cam, pipe.bbox, pipe.tsdf_cfg.limit,
             rm.RenderParams(shade_mode=cfg.shade_mode),
             brick_mask=mask if (cfg.skip_space and cfg.use_bricks) else None,
             brick_size_vol=bsz_vol,
+            brick_extent=bext,
         )
         # row-sharded image-space work (march reads the volume across slabs
         # -> XLA all-gathers it; the per-ray march itself is row-parallel)

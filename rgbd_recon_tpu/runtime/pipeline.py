@@ -281,11 +281,14 @@ class FramePipeline:
             )
             cam = rm.RenderCamera(modelview, proj, cfg.render_width, cfg.render_height)
             bsz_vol = self.brick_grid.brick_size / float(np.max(self.bbox.size))
+            bext = np.asarray(self.brick_grid.res, np.float32) * self.brick_grid.brick_size \
+                / self.bbox.size.astype(np.float32)
             out = rm.render(
                 vol, cvol, frames, rig, cam, self.bbox, self.tsdf_cfg.limit,
                 rm.RenderParams(shade_mode=cfg.shade_mode),
                 brick_mask=mask if (cfg.skip_space and cfg.use_bricks) else None,
                 brick_size_vol=bsz_vol,
+                brick_extent=bext,
             )
 
         color_out = out.color

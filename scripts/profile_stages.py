@@ -44,10 +44,11 @@ def timeit(name, fn, args_list, iters):
         float(np.asarray(carry))
         return time.perf_counter() - t0
 
-    n_small = max(2, iters // 4)
-    t_small = run(n_small)
-    t_full = run(iters)
-    dt = (t_full - t_small) / (iters - n_small) * 1e3
+    # the drain read carries a noisy fixed RTT (~35 ms, spikes to ~2 s);
+    # min-over-trials at two loop lengths cancels it robustly
+    t1 = min(run(1) for _ in range(4))
+    tn = min(run(iters) for _ in range(3))
+    dt = (tn - t1) / (iters - 1) * 1e3
     print(f"{name:28s} {dt:8.2f} ms")
     return out
 

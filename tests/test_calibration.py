@@ -167,3 +167,31 @@ def test_load_scene_end_to_end(tmp_path):
         np.asarray(rig.cv_xyz_inv), np.asarray(ref_rig.cv_xyz_inv)
     )
     assert fmt.width == 128 and fmt.color_size == 128 * 104 * 3
+
+
+def test_calib_inverter_cli(tmp_path):
+    """scripts/calib_inverter.py: .ks -> baked *_inv volumes on disk."""
+    import subprocess
+    import sys
+    from rgbd_recon_tpu.calibration import synthetic
+    from rgbd_recon_tpu.calibration.volume import CalibrationVolume
+    from rgbd_recon_tpu.utils.math import Bbox
+
+    bbox = Bbox.default()
+    ks = synthetic.write_reference_scene(
+        str(tmp_path), num_sensors=1, bbox=bbox, fwd_res=(16, 24, 16),
+    )
+    # overwrite the pre-baked inverse so the tool's output is what we read
+    (tmp_path / "sensor0.cv_xyz_inv").unlink()
+    import scripts.calib_inverter as ci
+
+    rc = ci.main([str(ks), "-s", "0.2"])
+    assert rc == 0
+    out = CalibrationVolume.read(str(tmp_path / "sensor0.cv_xyz_inv"), 4)
+    assert tuple(int(v) for v in out.res) == (10, 12, 10)  # ceil(bbox/0.2), f32: 2.2/0.2 -> 11.0000005 -> 12
+    vol = out.volume
+    valid = vol[..., 0] >= 0.0
+    assert valid.any()
+    # valid voxels carry plausible (u, v, d) in [0, 1]
+    assert np.all(vol[valid][:, :3] >= -1e-5)
+    assert np.all(vol[valid][:, :3] <= 1.0 + 1e-5)
