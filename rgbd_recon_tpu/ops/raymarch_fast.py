@@ -144,8 +144,13 @@ def sweep(
         wr = _hat_rows(pr * nr - 0.5, nr)      # [Ti, R]
         wc = _hat_rows(pc * nc - 0.5, nc)      # [Si, C]
         both = jnp.concatenate([slice2d[..., None], slice_col], axis=-1)  # [R, C, 5]
-        t = jnp.einsum("tr,rcf->tcf", wr, both, preferred_element_type=jnp.float32)
-        out = jnp.einsum("sc,tcf->tsf", wc, t, preferred_element_type=jnp.float32)
+        # single-pass bf16: density is +-limit with a 0-crossing test — the
+        # ~2^-9 relative rounding moves the crossing by <0.5% of a step
+        bf16 = jnp.bfloat16
+        t = jnp.einsum("tr,rcf->tcf", wr.astype(bf16), both.astype(bf16),
+                       preferred_element_type=jnp.float32)
+        out = jnp.einsum("sc,tcf->tsf", wc.astype(bf16), t.astype(bf16),
+                         preferred_element_type=jnp.float32)
         return out  # [Ti, Si, 5]
 
     def body(carry, k):
@@ -277,7 +282,7 @@ def render_fast(
     if h % 8 == 0 and w % 32 == 0:
         warped = sample2d_blocked_px(
             packed, fr_cl, fc_cl, tile=(8, 32), window=(48, 96),
-            precision=jax.lax.Precision.HIGHEST,  # hit_s carries depth
+            precise_channels=(1,),  # hit_s carries depth
         )
     else:  # odd render sizes: per-pixel taps (tests at tiny resolutions)
         i0 = jnp.floor(fr_cl).astype(jnp.int32)

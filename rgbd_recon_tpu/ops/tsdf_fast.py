@@ -53,7 +53,13 @@ SIL_FULL = 0.9999
 
 
 class IntegrationTables(NamedTuple):
-    pos_calib: jnp.ndarray  # f32[K, Vz, Vy, Vx, 3] voxel -> (u, v, d_norm)
+    """Baked voxel->sensor warp in BLOCK-MAJOR layout: brick b of the 16^3
+    partition holds its voxels contiguously ([K, NB, B3, 3] with B3 = 16^3),
+    so a per-brick fetch is one contiguous slice instead of a 3-D strided
+    window. Window origins (per brick per sensor — pure functions of the
+    calibration) are derived once per sensor size by ``win_offsets``."""
+
+    pos_blocked: jnp.ndarray  # f32[K, NB, B3, 3] voxel -> (u, v, d_norm)
 
 
 def _gl_resize_weights(n_src: int, n_dst: int) -> jnp.ndarray:
@@ -88,16 +94,54 @@ def resize3d_gl(vol: jnp.ndarray, out_res: tuple[int, int, int]) -> jnp.ndarray:
     return out
 
 
+def _to_blocked(pos: np.ndarray) -> np.ndarray:
+    """[K, Vz, Vy, Vx, 3] -> block-major [K, NB, B3, 3]."""
+    k, vz, vy, vx, c = pos.shape
+    nz, ny, nx = vz // BRICK, vy // BRICK, vx // BRICK
+    p = pos.reshape(k, nz, BRICK, ny, BRICK, nx, BRICK, c)
+    p = p.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return np.ascontiguousarray(p.reshape(k, nz * ny * nx, BRICK**3, c))
+
+
 def precompute_tables(rig: RigCalibration, cfg: TsdfConfig) -> IntegrationTables:
     """Bake the voxel->sensor warp for every sensor at the volume res.
 
     Equivalent to ``sample3d(cv_xyz_inv[k], voxel_centers)`` (the per-voxel
     lookup tsdf_integration.vs:31 does per frame) but hoisted out of the
     frame loop — it only changes when calibration or volume res change.
+    Host numpy (f64 accumulation — the values are sensor coordinates whose
+    precision bounds TSDF parity), block-major layout on device.
     """
     vx, vy, vz = cfg.res
-    pos = jax.vmap(lambda v: resize3d_gl(v, (vz, vy, vx)))(rig.cv_xyz_inv)
-    return IntegrationTables(pos_calib=pos)
+    src = np.asarray(rig.cv_xyz_inv, np.float32)  # [K, Dz, Dy, Dx, 3]
+    wd = np.asarray(_gl_resize_weights(src.shape[1], vz), np.float32)
+    wh = np.asarray(_gl_resize_weights(src.shape[2], vy), np.float32)
+    ww = np.asarray(_gl_resize_weights(src.shape[3], vx), np.float32)
+    pos = np.einsum("Dd,kdhwc->kDhwc", wd, src, optimize=True)
+    pos = np.einsum("Hh,kDhwc->kDHwc", wh, pos, optimize=True)
+    pos = np.einsum("Ww,kDHwc->kDHWc", ww, pos, optimize=True)
+    blocked = _to_blocked(pos)
+    return IntegrationTables(pos_blocked=jnp.asarray(blocked))
+
+
+def win_offsets(tables: IntegrationTables, h: int, w: int, window: int) -> jnp.ndarray:
+    """Per-brick per-sensor image-window origins i32[K, NB, 2] as (y, x):
+    the window is centered on the footprint midpoint of the brick's VALID
+    projections (u >= 0; the inverse bake marks off-frustum voxels -1),
+    clipped to the image — exactly the placement integrate_sparse uses."""
+    pc = tables.pos_blocked  # [K, NB, B3, 3]
+    u, v = pc[..., 0], pc[..., 1]
+    invalid = u < 0.0
+    big = jnp.float32(1e9)
+    ux = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
+    vy = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x_mid = (jnp.min(jnp.where(invalid, big, ux), axis=-1)
+             + jnp.max(jnp.where(invalid, -big, ux), axis=-1)) * 0.5
+    y_mid = (jnp.min(jnp.where(invalid, big, vy), axis=-1)
+             + jnp.max(jnp.where(invalid, -big, vy), axis=-1)) * 0.5
+    x_lo = jnp.clip(jnp.floor(x_mid).astype(jnp.int32) - window // 2, 0, w - window)
+    y_lo = jnp.clip(jnp.floor(y_mid).astype(jnp.int32) - window // 2, 0, h - window)
+    return jnp.stack([y_lo, x_lo], axis=-1)
 
 
 def tables_cached(
@@ -116,18 +160,20 @@ def tables_cached(
 
     src = np.asarray(rig.cv_xyz_inv)
     key = hashlib.sha1(
-        src.tobytes() + repr(tuple(cfg.res)).encode()
+        src.tobytes() + repr(("blocked-v2", tuple(cfg.res))).encode()
     ).hexdigest()[:16]
     path = os.path.join(cache_dir, f"warp-{key}.npy")
     try:
         if os.path.exists(path):
-            return IntegrationTables(pos_calib=jnp.asarray(np.load(path, mmap_mode="r")))
+            return IntegrationTables(
+                pos_blocked=jnp.asarray(np.load(path, mmap_mode="r"))
+            )
     except Exception:
         pass
     tables = precompute_tables(rig, cfg)
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        np.save(path, np.asarray(tables.pos_calib))
+        np.save(path, np.asarray(tables.pos_blocked))
     except Exception:
         pass
     return tables
@@ -181,30 +227,36 @@ def integrate_sparse(
     mask16: jnp.ndarray,
     max_bricks: int = 1024,
     window: int = 64,
+    win_off: jnp.ndarray | None = None,
 ):
     """Brick-sparse fused TSDF + color volumes.
 
     Returns (tsdf f32[Vz,Vy,Vx], color f32[Vz,Vy,Vx,4]). Voxels outside
     occupied bricks hold -limit / 0 (the clear values,
-    recon_integration.cpp:249-250).
+    recon_integration.cpp:249-250). ``win_off``: precomputed i32[K, NB, 2]
+    window origins (win_offsets) — pass it cached; derived here otherwise.
     """
     vx, vy, vz = cfg.res
     assert vx % BRICK == vy % BRICK == vz % BRICK == 0, "volume res must be 16-aligned"
+    nb_total = (vx // BRICK) * (vy // BRICK) * (vz // BRICK)
+    assert tables.pos_blocked.shape[1] == nb_total, (
+        tables.pos_blocked.shape, cfg.res)
     limit = jnp.float32(cfg.limit)
     packed = pack_frames(frames)  # [K, H, W, 6]
     num_k, h, w, _ = packed.shape
     win = window
-    nb_x, nb_y = vx // BRICK, vy // BRICK
+    nb_x, nb_y, nb_z = vx // BRICK, vy // BRICK, vz // BRICK
 
     idx_list, valid_list = occupied_list(mask16, max_bricks)
-
-    vol0 = jnp.full((vz, vy, vx), -cfg.limit, jnp.float32)
-    cvol0 = jnp.zeros((vz, vy, vx, 4), jnp.float32)
+    if win_off is None:
+        win_off = win_offsets(tables, h, w, window)
+    offs = win_off[:, idx_list]          # [K, MB, 2]
+    pcs = tables.pos_blocked[:, idx_list]  # [K, MB, B3, 3]
 
     corner_vals = packed[:, 0, 0, :]  # [K, 6] — GL clamp target for (-1,-1)
 
-    def sample_brick(k, pc):
-        """pc f32[B3, 3] -> (depth, qual, sil, rgb) each [B3(,3)]."""
+    def sample_brick(k, pc, off):
+        """pc f32[B3, 3], off i32[2] -> (depth, qual, sil, rgb)."""
         b3 = pc.shape[0]
         u, v = pc[:, 0], pc[:, 1]
         invalid = u < 0.0
@@ -214,17 +266,7 @@ def integrate_sparse(
         ux_n = jnp.clip(jnp.floor(u * w), 0.0, w - 1.0).astype(jnp.int32)
         vy_n = jnp.clip(jnp.floor(v * h), 0.0, h - 1.0).astype(jnp.int32)
 
-        # center the window on the footprint: identical to a min-anchored
-        # window when the footprint fits, halves the clamp error when a
-        # too-close brick overflows it
-        big = jnp.float32(1e9)
-        ux_val = jnp.where(invalid, big, ux_l)
-        vy_val = jnp.where(invalid, big, vy_l)
-        x_mid = (jnp.min(ux_val) + jnp.max(jnp.where(invalid, -big, ux_l))) * 0.5
-        y_mid = (jnp.min(vy_val) + jnp.max(jnp.where(invalid, -big, vy_l))) * 0.5
-        x_lo = jnp.clip(jnp.floor(x_mid).astype(jnp.int32) - win // 2, 0, w - win)
-        y_lo = jnp.clip(jnp.floor(y_mid).astype(jnp.int32) - win // 2, 0, h - win)
-
+        y_lo, x_lo = off[0], off[1]
         wnd = jax.lax.dynamic_slice(
             packed, (k, y_lo, x_lo, 0), (1, win, win, 6)
         )[0]  # [win, win, 6]
@@ -265,16 +307,11 @@ def integrate_sparse(
         rgb = jnp.where(invalid[:, None], cv[3:6], rgb)
         return depth, qual, sil, rgb
 
-    def brick_block(bid):
-        """One occupied brick -> (tsdf block, color block, start indices).
-        Batched over the occupied list with vmap (the round-1 lax.scan over
-        bricks serialized ~1024 small matmul steps; batching keeps the MXU
-        fed and assembles the volume with ONE block scatter)."""
-        bz = bid // (nb_y * nb_x)
-        by = (bid // nb_x) % nb_y
-        bx = bid % nb_x
-        z0, y0, x0 = bz * BRICK, by * BRICK, bx * BRICK
-
+    def brick_block(pc_all, off_all):
+        """One occupied brick (its table slice + window origins) ->
+        (tsdf block, color block). Batched over the occupied list with vmap
+        (the round-1 lax.scan over bricks serialized ~1024 small matmul
+        steps)."""
         # TSDF state (tsdf_integration.vs:28-29)
         wt = jnp.full((BRICK**3,), cfg.limit, jnp.float32)
         tw = jnp.zeros((BRICK**3,), jnp.float32)
@@ -285,10 +322,8 @@ def integrate_sparse(
         tcw2 = jnp.zeros((BRICK**3,), jnp.float32)
 
         for k in range(num_k):
-            pc = jax.lax.dynamic_slice(
-                tables.pos_calib, (k, z0, y0, x0, 0), (1, BRICK, BRICK, BRICK, 3)
-            ).reshape(BRICK**3, 3)
-            depth, qual, sil, rgb = sample_brick(k, pc)
+            pc = pc_all[k]
+            depth, qual, sil, rgb = sample_brick(k, pc, off_all[k])
             sdist = pc[:, 2] - depth
 
             # silhouette gate (tsdf_integration.vs:33-39)
@@ -324,30 +359,45 @@ def integrate_sparse(
         )
         flag = jnp.where(hasq, 1.0, -1.0)
         cblock = jnp.concatenate([rgb_out, flag[:, None]], axis=-1)
+        return wt, cblock
 
-        block = wt.reshape(BRICK, BRICK, BRICK)
-        cblock = cblock.reshape(BRICK, BRICK, BRICK, 4)
-        return block, cblock, jnp.stack([z0, y0, x0])
+    blocks, cblocks = jax.vmap(brick_block, in_axes=(1, 1))(pcs, offs)
+    return assemble_blocks(
+        blocks, cblocks, idx_list, valid_list, (vx, vy, vz), cfg.limit
+    )
 
-    blocks, cblocks, starts = jax.vmap(brick_block)(idx_list)
 
-    # assemble with one block scatter; invalid entries get out-of-bounds
-    # starts and are DROPPED (valid starts are unique by construction)
-    oob = jnp.array([vz, vy, vx], jnp.int32)
-    starts = jnp.where(valid_list[:, None], starts.astype(jnp.int32), oob)
-    dn3 = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0, 1, 2),
+def assemble_blocks(blocks, cblocks, idx_list, valid_list, vol_res, limit):
+    """[MB, B3] (+[MB, B3, 4]) brick results -> dense volumes.
+
+    Inverse-permutation TAKE instead of scatter: every output block gathers
+    its brick from the result list (clear values for unoccupied), then one
+    transpose restores voxel order — XLA's block scatter ran ~70 ms at
+    256^3 where this is bandwidth-bound."""
+    vx, vy, vz = vol_res
+    nb_x, nb_y, nb_z = vx // BRICK, vy // BRICK, vz // BRICK
+    nb = nb_x * nb_y * nb_z
+    mb = blocks.shape[0]
+
+    inv = jnp.full((nb,), mb, jnp.int32)
+    slots = jnp.where(valid_list, idx_list, nb)  # OOB entries are dropped
+    inv = inv.at[slots].set(jnp.arange(mb, dtype=jnp.int32), mode="drop")
+
+    clear = jnp.full((1, BRICK**3), -limit, jnp.float32)
+    vb = jnp.take(jnp.concatenate([blocks, clear], 0), inv, axis=0)
+    vol = (
+        vb.reshape(nb_z, nb_y, nb_x, BRICK, BRICK, BRICK)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(vz, vy, vx)
     )
-    dn4 = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3, 4), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0, 1, 2),
-    )
-    mode = jax.lax.GatherScatterMode.FILL_OR_DROP
-    vol = jax.lax.scatter(
-        vol0, starts, blocks, dn3, unique_indices=True, mode=mode
-    )
-    cvol = jax.lax.scatter(
-        cvol0, starts, cblocks, dn4, unique_indices=True, mode=mode
+    # channels folded into the minor axis before the gather (a [..., 4]
+    # minor dim provokes a pathological XLA gather layout on TPU)
+    cflat = cblocks.reshape(mb, BRICK * BRICK, BRICK * 4)
+    cclear = jnp.zeros((1, BRICK * BRICK, BRICK * 4), jnp.float32)
+    cvb = jnp.take(jnp.concatenate([cflat, cclear], 0), inv, axis=0)
+    cvol = (
+        cvb.reshape(nb_z, nb_y, nb_x, BRICK, BRICK, BRICK, 4)
+        .transpose(0, 3, 1, 4, 2, 5, 6)
+        .reshape(vz, vy, vx, 4)
     )
     return vol, cvol

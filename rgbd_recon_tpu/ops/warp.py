@@ -144,10 +144,15 @@ def resize2d_gl(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     of per-pixel gathers (the colorfill resolve upsamples every LOD to full
     resolution, tsdf_colorfill.fs:42-51)."""
     h2, w2 = out_hw
-    wh = jnp.asarray(_gl_resize_weights_np(img.shape[0], h2))
-    ww = jnp.asarray(_gl_resize_weights_np(img.shape[1], w2))
-    t = jnp.einsum("Hh,hwc->Hwc", wh, img, preferred_element_type=jnp.float32)
-    return jnp.einsum("Ww,Hwc->HWc", ww, t, preferred_element_type=jnp.float32)
+    # color-only resize: single-pass bf16 matmuls (f32 inputs default to a
+    # 6-pass decomposition on TPU)
+    bf16 = jnp.bfloat16
+    wh = jnp.asarray(_gl_resize_weights_np(img.shape[0], h2), bf16)
+    ww = jnp.asarray(_gl_resize_weights_np(img.shape[1], w2), bf16)
+    t = jnp.einsum("Hh,hwc->Hwc", wh, img.astype(bf16),
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("Ww,Hwc->HWc", ww, t.astype(bf16),
+                      preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -184,12 +189,17 @@ def sample2d_blocked_px(
     fx: jnp.ndarray,
     tile: tuple[int, int] = (16, 32),
     window: tuple[int, int] = (96, 128),
-    precision=None,
+    precise_channels: tuple[int, ...] = (),
 ) -> jnp.ndarray:
     """``sample2d_blocked`` core with PIXEL-space fractional coordinates
-    (fy, fx each [H, W], already clamped into [0, dim-1]). ``precision``:
-    pass jax.lax.Precision.HIGHEST when sampled channels carry geometry
-    (depth/coordinates) — TPU bf16 matmul default is fine for color only."""
+    (fy, fx each [H, W], already clamped into [0, dim-1]).
+
+    The row-stage matmul runs single-pass bf16 (fine for color/mask
+    channels). Channels listed in ``precise_channels`` (depth-like signals)
+    get the hi/lo-split treatment: exactly-representable weight/value high
+    parts plus small residues keep the error ~2^-15 at ~3x one channel's
+    cost — far cheaper than 6-pass f32 on everything. The column stage is
+    an explicit multiply+reduce on the VPU (f32 exact)."""
     hc, wc, cch = img.shape
     h, w = fy.shape
     ty, tx = tile
@@ -197,6 +207,7 @@ def sample2d_blocked_px(
     assert h % ty == 0 and w % tx == 0, (h, w, tile)
     nty, ntx = h // ty, w // tx
     p = ty * tx
+    bf16 = jnp.bfloat16
 
     fx = fx.reshape(nty, ty, ntx, tx).transpose(0, 2, 1, 3).reshape(-1, p)
     fy = fy.reshape(nty, ty, ntx, tx).transpose(0, 2, 1, 3).reshape(-1, p)
@@ -215,12 +226,28 @@ def sample2d_blocked_px(
         ix = jax.lax.broadcasted_iota(jnp.float32, (p, ww), 1)
         wyh = jnp.clip(1.0 - jnp.abs(ry[:, None] - iy), 0.0, 1.0)   # [p, wh]
         wxh = jnp.clip(1.0 - jnp.abs(rx[:, None] - ix), 0.0, 1.0)   # [p, ww]
-        t = jnp.dot(wyh, wnd.reshape(wh, ww * cch),
-                    preferred_element_type=jnp.float32,
-                    precision=precision).reshape(p, ww, cch)
-        return jnp.einsum("pwc,pw->pc", t, wxh,
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
+        t = jnp.dot(wyh.astype(bf16), wnd.reshape(wh, ww * cch).astype(bf16),
+                    preferred_element_type=jnp.float32).reshape(p, ww, cch)
+        if precise_channels:
+            wy_hi = jnp.floor(wyh * 256.0) * (1.0 / 256.0)
+            wy_lo = wyh - wy_hi
+            vals = jnp.stack([wnd[:, :, c] for c in precise_channels], -1)
+            v_hi = jnp.floor(vals * 256.0) * (1.0 / 256.0)
+            v_lo = vals - v_hi
+            npc = len(precise_channels)
+            stack = jnp.concatenate([v_hi, v_lo], -1).reshape(wh, ww * 2 * npc)
+            t_hi = jnp.dot(wy_hi.astype(bf16), stack.astype(bf16),
+                           preferred_element_type=jnp.float32
+                           ).reshape(p, ww, 2 * npc)
+            t_lo = jnp.dot(wy_lo.astype(bf16),
+                           vals.reshape(wh, ww * npc).astype(bf16),
+                           preferred_element_type=jnp.float32
+                           ).reshape(p, ww, npc)
+            t_pr = t_hi[:, :, :npc] + t_hi[:, :, npc:] + t_lo
+            for j, c in enumerate(precise_channels):
+                t = t.at[:, :, c].set(t_pr[:, :, j])
+        # column stage: explicit mul+reduce (VPU, f32 exact)
+        return jnp.sum(t * wxh[:, :, None], axis=1)
 
     out = jax.vmap(per_tile)(fx, fy, x0, y0)      # [T, p, C]
     out = out.reshape(nty, ntx, ty, tx, cch).transpose(0, 2, 1, 3, 4)

@@ -78,6 +78,10 @@ class PipelineConfig(NamedTuple):
     # affine-in-depth within warp_tol
     use_warp: bool = True
     warp_tol: float = 1e-4
+    # VMEM-fused Pallas TSDF integration (ops/tsdf_pallas.py). None = auto:
+    # on for TPU backends when bricks are fine enough for its fixed windows
+    # (>= 8 bricks per axis)
+    use_pallas: bool | None = None
     # one dispatch per frame instead of four (all stages in a single jit);
     # staged mode compiles much faster and recompiles only the renderer on
     # camera-axis changes
@@ -222,18 +226,53 @@ class FramePipeline:
                 )
         return frames, mask, vox_mask, mask16, occupied
 
-    def _integrate_impl(self, frames, mask16, tables):
+    def _use_pallas(self) -> bool:
+        if self.cfg.use_pallas is not None:
+            return self.cfg.use_pallas
+        vx, vy, vz = self.tsdf_cfg.res
+        fine_enough = min(vx, vy, vz) // tsdf_fast.BRICK >= 8
+        return fine_enough and jax.default_backend() == "tpu"
+
+    def _integrate_impl(self, frames, mask16, tables, win_off=None):
         """2integrate (fast path): brick-sparse fused TSDF + color volumes."""
         cfg = self.cfg
         vx, vy, vz = self.tsdf_cfg.res
         total_bricks = (vx // tsdf_fast.BRICK) * (vy // tsdf_fast.BRICK) * (
             vz // tsdf_fast.BRICK
         )
+        if self._use_pallas():
+            from ..ops.tsdf_pallas import integrate_sparse_pallas
+
+            return integrate_sparse_pallas(
+                frames, tables, self.tsdf_cfg, mask16,
+                max_bricks=min(cfg.max_bricks, total_bricks),
+                win_off=win_off,
+            )
         return tsdf_fast.integrate_sparse(
             frames, tables, self.tsdf_cfg, mask16,
             max_bricks=min(cfg.max_bricks, total_bricks),
             window=cfg.sample_window,
+            win_off=win_off,
         )
+
+    def _get_win_off(self, h: int, w: int):
+        """Cached per-brick window origins for the sensor size (pure
+        function of the calibration tables; ~1 ms to derive on device)."""
+        if not self.use_fast:
+            return None
+        if getattr(self, "_win_off_hw", None) != (h, w):
+            if self._use_pallas():
+                from ..ops.tsdf_pallas import win_offsets_pallas
+
+                self._win_off = jax.jit(
+                    win_offsets_pallas, static_argnums=(1, 2)
+                )(self.tables, h, w)
+            else:
+                self._win_off = jax.jit(
+                    tsdf_fast.win_offsets, static_argnums=(1, 2, 3)
+                )(self.tables, h, w, self.cfg.sample_window)
+            self._win_off_hw = (h, w)
+        return self._win_off
 
     def _render_impl(self, vol, cvol, mask16, cam_mats, axis, flip):
         """3recon (fast path): sweep-composited raymarch."""
@@ -258,7 +297,7 @@ class FramePipeline:
         return inpaint.colorfill(pyr_c, pyr_d)
 
     def _step_impl(self, depth_m, color, modelview, proj, rig=None, warp=None,
-                   tables=None, axis=2, flip=False) -> FrameOutput:
+                   tables=None, axis=2, flip=False, win_off=None) -> FrameOutput:
         """The fully fused single-program frame (cfg.fused; also the dense
         reference-faithful path when the fast path is disabled). ``rig``,
         ``warp`` and ``tables`` are data arguments (see __init__ note); None
@@ -272,7 +311,7 @@ class FramePipeline:
             depth_m, color, rig, warp
         )
         if self.use_fast:
-            vol, cvol = self._integrate_impl(frames, mask16, tables)
+            vol, cvol = self._integrate_impl(frames, mask16, tables, win_off)
             out = self._render_impl(vol, cvol, mask16, (modelview, proj), axis, flip)
         else:
             vol = tsdf_ops.integrate(frames, rig, self.tsdf_cfg, voxel_mask=vox_mask)
@@ -320,6 +359,7 @@ class FramePipeline:
         if self.use_fast:
             axis, flip = self._pick_axis(modelview)
         warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
+        win_off = self._get_win_off(depth_m.shape[1], depth_m.shape[2])
         depth_m = jnp.asarray(depth_m)
         color = jnp.asarray(color)
         modelview = jnp.asarray(modelview)
@@ -328,13 +368,13 @@ class FramePipeline:
         if self.cfg.fused or not self.use_fast:
             return self._step(
                 depth_m, color, modelview, proj, self.rig, warp, self.tables,
-                axis, flip,
+                axis, flip, win_off,
             )
 
         frames, mask, vox_mask, mask16, occupied = self._pre(
             depth_m, color, self.rig, warp
         )
-        vol, cvol = self._integrate(frames, mask16, self.tables)
+        vol, cvol = self._integrate(frames, mask16, self.tables, win_off)
         out = self._render(vol, cvol, mask16, (modelview, proj), axis, flip)
         color_out = self._fill(out.color, out.depth) if self.cfg.fill_holes else out.color
         return FrameOutput(
@@ -352,6 +392,7 @@ class FramePipeline:
         if self.use_fast:
             axis, flip = self._pick_axis(modelview)
         warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
+        win_off = self._get_win_off(depth_m.shape[1], depth_m.shape[2])
         depth_m = jnp.asarray(depth_m)
         color = jnp.asarray(color)
         modelview = jnp.asarray(modelview)
@@ -362,7 +403,7 @@ class FramePipeline:
                 out = jax.block_until_ready(
                     self._step(
                         depth_m, color, modelview, proj, self.rig, warp,
-                        self.tables, axis, flip,
+                        self.tables, axis, flip, win_off,
                     )
                 )
             return out
@@ -373,7 +414,7 @@ class FramePipeline:
             )
         with db.scope("2integrate"):
             vol, cvol = jax.block_until_ready(
-                self._integrate(frames, mask16, self.tables)
+                self._integrate(frames, mask16, self.tables, win_off)
             )
         with db.scope("3recon"):
             out = jax.block_until_ready(
@@ -398,6 +439,7 @@ class FramePipeline:
         if self.use_fast:
             axis, flip = self._pick_axis(modelview)
         warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
+        win_off = self._get_win_off(depth_m.shape[1], depth_m.shape[2])
         depth_m = jnp.asarray(depth_m)
         color = jnp.asarray(color)
         modelview = jnp.asarray(modelview)
@@ -408,7 +450,7 @@ class FramePipeline:
             jax.block_until_ready(
                 self._step(
                     depth_m, color, modelview, proj, self.rig, warp,
-                    self.tables, axis, flip,
+                    self.tables, axis, flip, win_off,
                 )
             )
             self._log(f"  fused step: {time.time()-t0:.1f}s")
@@ -421,7 +463,7 @@ class FramePipeline:
         t0 = time.time()
         self._log("compiling 2integrate ...")
         vol, cvol = jax.block_until_ready(
-            self._integrate(frames, mask16, self.tables)
+            self._integrate(frames, mask16, self.tables, win_off)
         )
         self._log(f"  2integrate: {time.time()-t0:.1f}s")
         t0 = time.time()

@@ -131,7 +131,13 @@ def main():
     jint = jax.jit(lambda f_, m_, t_: tsdf_fast.integrate_sparse(
         f_, t_, pipe.tsdf_cfg, m_, max_bricks=min(1024, (tsdf_n // 16) ** 3),
         window=pipe.cfg.sample_window))
-    intout = timeit("integrate_sparse", jint, [(frames, mask16, pipe.tables)], iters)
+    intout = timeit("integrate_sparse(xla)", jint, [(frames, mask16, pipe.tables)], iters)
+    if jax.default_backend() == "tpu" and tsdf_n >= 128:
+        from rgbd_recon_tpu.ops.tsdf_pallas import integrate_sparse_pallas
+
+        jintp = jax.jit(lambda f_, m_, t_: integrate_sparse_pallas(
+            f_, t_, pipe.tsdf_cfg, m_, max_bricks=min(1024, (tsdf_n // 16) ** 3)))
+        intout = timeit("integrate_sparse(pallas)", jintp, [(frames, mask16, pipe.tables)], iters)
     vol, cvol = intout
 
     # --- render
