@@ -281,7 +281,7 @@ def render_fast(
     fc_cl = jnp.clip(fc, 0.0, si - 1.0)
     if h % 8 == 0 and w % 32 == 0:
         warped = sample2d_blocked_px(
-            packed, fr_cl, fc_cl, tile=(8, 32), window=(48, 96),
+            packed, fr_cl, fc_cl, tile=(8, 32), window=(16, 48),
             precise_channels=(1,),  # hit_s carries depth
         )
     else:  # odd render sizes: per-pixel taps (tests at tiny resolutions)

@@ -104,7 +104,7 @@ def _kernel(
     # scalar prefetch
     sel_ref, offs_ref,
     # inputs
-    tbl_ref,      # VMEM [1, 1, 3, B3]  (blockspec-selected brick)
+    tbl_ref,      # HBM  [K, NB, 4, B3] (manual predicated DMA, padded)
     packed_ref,   # HBM  [K, NXB, 6, H, WX] (manual window DMA)
     corner_ref,   # VMEM [K, 8]
     vol_in_ref,   # HBM  (aliased init — unvisited blocks keep clear values)
@@ -114,6 +114,7 @@ def _kernel(
     cvol_ref,     # VMEM [1, 4, 32, 128]
     # scratch (persist across grid steps)
     wnd_ref,      # VMEM [2, 6, WY, WX] (double-buffered sensor windows)
+    tblv_ref,     # VMEM [4, B3] (current brick's warp-table slice, padded)
     wt_ref,       # VMEM [CH, HB]  weighted TSDF
     tw_ref,       # VMEM [CH, HB]  total weight
     tc_ref,       # VMEM [3, CH, HB]
@@ -121,7 +122,7 @@ def _kernel(
     tc2_ref,      # VMEM [3, CH, HB]
     tcw2_ref,     # VMEM [CH, HB]
     sems,
-    *, num_k: int, h: int, w: int, limit: float,
+    *, num_k: int, h: int, w: int, limit: float, nb_trash: int,
 ):
     i = pl.program_id(0)
     k = pl.program_id(1)
@@ -142,127 +143,142 @@ def _kernel(
             sems.at[wslot],
         )
 
-    @pl.when(jnp.logical_and(idx == 0, ch == 0))
+    # ~95% of slots past the occupied count are padding; every DMA and all
+    # compute are predicated on brick validity (valid bricks form a prefix
+    # of the occupied list, so start/wait pairs stay consistent)
+    valid_cur = sel_ref[i] != nb_trash
+    j_next = jnp.minimum(jax.lax.div(idx + 1, num_k), pl.num_programs(0) - 1)
+    valid_next = sel_ref[j_next] != nb_trash
+
+    @pl.when(jnp.logical_and(jnp.logical_and(idx == 0, ch == 0), valid_cur))
     def _bootstrap():
         win_dma(0, 0).start()
 
-    @pl.when(ch == 0)
+    @pl.when(jnp.logical_and(ch == 0, valid_cur))
     def _rotate():
+        tbl_dma = pltpu.make_async_copy(
+            tbl_ref.at[k, sel_ref[i]], tblv_ref, sems.at[2]
+        )
+        tbl_dma.start()
         win_dma(idx, slot).wait()
 
-        @pl.when(idx + 1 < n_windows)
+        @pl.when(jnp.logical_and(idx + 1 < n_windows, valid_next))
         def _prefetch():
             win_dma(idx + 1, jax.lax.rem(idx + 1, 2)).start()
 
-    packed_off = offs_ref[idx]
-    y_lo = packed_off >> 16
-    xblk = packed_off & 0xFFFF
+        tbl_dma.wait()
 
-    lo = ch * HB
-    pc = tbl_ref[0, 0, :, pl.ds(lo, HB)]      # [3, HB]
-    u, v, d_vox = pc[0], pc[1], pc[2]
-    invalid = u < 0.0
-    ux_l = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
-    vy_l = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
-    ux_n = jnp.clip(jnp.floor(u * w), 0.0, w - 1.0).astype(jnp.int32)
-    vy_n = jnp.clip(jnp.floor(v * h), 0.0, h - 1.0).astype(jnp.int32)
-    x_lo = xblk * XSTRIDE
-    ux_l = jnp.clip(ux_l - x_lo.astype(jnp.float32), 0.0, WX - 1.0)
-    vy_l = jnp.clip(vy_l - y_lo.astype(jnp.float32), 0.0, WY - 1.0)
-    ux_n = jnp.clip(ux_n - x_lo, 0, WX - 1)
-    vy_n = jnp.clip(vy_n - y_lo, 0, WY - 1)
+    @pl.when(valid_cur)
+    def _compute():
+        packed_off = offs_ref[idx]
+        y_lo = packed_off >> 16
+        xblk = packed_off & 0xFFFF
 
-    rows_l = _hat2d(vy_l[:, None], WY)        # [HB, WY]
-    rows_n = _onehot2d(vy_n[:, None], WY)
-    cols_l = _hat2d(ux_l[:, None], WX)        # [HB, WX]
-    cols_n = _onehot2d(ux_n[:, None], WX)
+        lo = ch * HB
+        pc = tblv_ref[:, pl.ds(lo, HB)]           # [3, HB]
+        u, v, d_vox = pc[0], pc[1], pc[2]
+        invalid = u < 0.0
+        ux_l = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
+        vy_l = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+        ux_n = jnp.clip(jnp.floor(u * w), 0.0, w - 1.0).astype(jnp.int32)
+        vy_n = jnp.clip(jnp.floor(v * h), 0.0, h - 1.0).astype(jnp.int32)
+        x_lo = xblk * XSTRIDE
+        ux_l = jnp.clip(ux_l - x_lo.astype(jnp.float32), 0.0, WX - 1.0)
+        vy_l = jnp.clip(vy_l - y_lo.astype(jnp.float32), 0.0, WY - 1.0)
+        ux_n = jnp.clip(ux_n - x_lo, 0, WX - 1)
+        vy_n = jnp.clip(vy_n - y_lo, 0, WY - 1)
 
-    bf16 = jnp.bfloat16
-    rows_l16 = rows_l.astype(bf16)
-    rows_n16 = rows_n.astype(bf16)            # 0/1 — exact in bf16
-    wnd = wnd_ref[slot]                       # [6, WY, WX]
-    d = wnd[0]
-    d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
-    d_lo = d - d_hi
-    dd = jnp.concatenate([d_hi, d_lo], axis=1).astype(bf16)   # [WY, 2*WX]
-    nt = jnp.dot(rows_n16, dd, preferred_element_type=jnp.float32)
-    depth = jnp.sum((nt[:, :WX] + nt[:, WX:]) * cols_n, axis=1)
+        rows_l = _hat2d(vy_l[:, None], WY)        # [HB, WY]
+        rows_n = _onehot2d(vy_n[:, None], WY)
+        cols_l = _hat2d(ux_l[:, None], WX)        # [HB, WX]
+        cols_n = _onehot2d(ux_n[:, None], WX)
 
-    qrgb = jnp.concatenate(
-        [wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]], axis=1
-    ).astype(bf16)
-    lin = jnp.dot(rows_l16, qrgb, preferred_element_type=jnp.float32)
-    sil = jnp.sum(lin[:, 0 * WX:1 * WX] * cols_l, axis=1)
-    qual = jnp.sum(lin[:, 1 * WX:2 * WX] * cols_l, axis=1)
-    r_ = jnp.sum(lin[:, 2 * WX:3 * WX] * cols_l, axis=1)
-    g_ = jnp.sum(lin[:, 3 * WX:4 * WX] * cols_l, axis=1)
-    b_ = jnp.sum(lin[:, 4 * WX:5 * WX] * cols_l, axis=1)
+        bf16 = jnp.bfloat16
+        rows_l16 = rows_l.astype(bf16)
+        rows_n16 = rows_n.astype(bf16)            # 0/1 — exact in bf16
+        wnd = wnd_ref[slot]                       # [6, WY, WX]
+        d = wnd[0]
+        d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
+        d_lo = d - d_hi
+        dd = jnp.concatenate([d_hi, d_lo], axis=1).astype(bf16)   # [WY, 2*WX]
+        nt = jnp.dot(rows_n16, dd, preferred_element_type=jnp.float32)
+        depth = jnp.sum((nt[:, :WX] + nt[:, WX:]) * cols_n, axis=1)
 
-    cv = corner_ref[k]
-    depth = jnp.where(invalid, cv[0], depth)
-    qual = jnp.where(invalid, cv[1], qual)
-    sil = jnp.where(invalid, cv[2], sil)
-    r_ = jnp.where(invalid, cv[3], r_)
-    g_ = jnp.where(invalid, cv[4], g_)
-    b_ = jnp.where(invalid, cv[5], b_)
+        qrgb = jnp.concatenate(
+            [wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]], axis=1
+        ).astype(bf16)
+        lin = jnp.dot(rows_l16, qrgb, preferred_element_type=jnp.float32)
+        sil = jnp.sum(lin[:, 0 * WX:1 * WX] * cols_l, axis=1)
+        qual = jnp.sum(lin[:, 1 * WX:2 * WX] * cols_l, axis=1)
+        r_ = jnp.sum(lin[:, 2 * WX:3 * WX] * cols_l, axis=1)
+        g_ = jnp.sum(lin[:, 3 * WX:4 * WX] * cols_l, axis=1)
+        b_ = jnp.sum(lin[:, 4 * WX:5 * WX] * cols_l, axis=1)
 
-    # fusion state for this chunk (reset on the first sensor)
-    first = k == 0
-    wt = jnp.where(first, jnp.full((HB,), limit, jnp.float32), wt_ref[ch])
-    tw = jnp.where(first, 0.0, tw_ref[ch])
-    tc = jnp.where(first, 0.0, tc_ref[:, ch, :])
-    tcw = jnp.where(first, 0.0, tcw_ref[ch])
-    tc2 = jnp.where(first, 0.0, tc2_ref[:, ch, :])
-    tcw2 = jnp.where(first, 0.0, tcw2_ref[ch])
+        cv = corner_ref[k]
+        depth = jnp.where(invalid, cv[0], depth)
+        qual = jnp.where(invalid, cv[1], qual)
+        sil = jnp.where(invalid, cv[2], sil)
+        r_ = jnp.where(invalid, cv[3], r_)
+        g_ = jnp.where(invalid, cv[4], g_)
+        b_ = jnp.where(invalid, cv[5], b_)
 
-    # TSDF update (tsdf_integration.vs:33-54)
-    sdist = d_vox - depth
-    skip = (sil < SIL_PL) & (wt >= limit)
-    in_front = sdist <= -limit
-    in_band = (sdist > -limit) & (sdist < limit)
-    new_tw = tw + qual
-    accum = jnp.where(
-        new_tw > 0.0,
-        (wt * tw + qual * sdist) / jnp.where(new_tw > 0.0, new_tw, 1.0),
-        wt,
-    )
-    wt_next = jnp.where(in_front, -limit, jnp.where(in_band, accum, wt))
-    tw_next = jnp.where(in_band & (new_tw > 0.0), new_tw, tw)
-    wt = jnp.where(skip, -limit, wt_next)
-    tw = jnp.where(skip, tw, tw_next)
+        # fusion state for this chunk (reset on the first sensor)
+        first = k == 0
+        wt = jnp.where(first, jnp.full((HB,), limit, jnp.float32), wt_ref[ch])
+        tw = jnp.where(first, 0.0, tw_ref[ch])
+        tc = jnp.where(first, 0.0, tc_ref[:, ch, :])
+        tcw = jnp.where(first, 0.0, tcw_ref[ch])
+        tc2 = jnp.where(first, 0.0, tc2_ref[:, ch, :])
+        tcw2 = jnp.where(first, 0.0, tcw2_ref[ch])
 
-    # color blend terms (tsdf_raymarch.fs:295-320)
-    dist = jnp.abs(depth - d_vox)
-    q_c = jnp.where(dist < limit, qual, 0.0)
-    w_c = q_c / (dist + 0.01)
-    rgb = jnp.stack([r_, g_, b_])
-    tc = tc + rgb * w_c[None, :]
-    tcw = tcw + w_c
-    w2 = 1.0 / jnp.maximum(dist, 1e-9)
-    tc2 = tc2 + rgb * w2[None, :]
-    tcw2 = tcw2 + w2
-
-    wt_ref[ch] = wt
-    tw_ref[ch] = tw
-    tc_ref[:, ch, :] = tc
-    tcw_ref[ch] = tcw
-    tc2_ref[:, ch, :] = tc2
-    tcw2_ref[ch] = tcw2
-
-    @pl.when(k == num_k - 1)
-    def _finalize():
-        hasq = tcw > 0.0
-        rgb_out = jnp.where(
-            hasq[None, :],
-            tc / jnp.maximum(tcw, 1e-20)[None, :],
-            tc2 / jnp.maximum(tcw2, 1e-20)[None, :],
+        # TSDF update (tsdf_integration.vs:33-54)
+        sdist = d_vox - depth
+        skip = (sil < SIL_PL) & (wt >= limit)
+        in_front = sdist <= -limit
+        in_band = (sdist > -limit) & (sdist < limit)
+        new_tw = tw + qual
+        accum = jnp.where(
+            new_tw > 0.0,
+            (wt * tw + qual * sdist) / jnp.where(new_tw > 0.0, new_tw, 1.0),
+            wt,
         )
-        flag = jnp.where(hasq, 1.0, -1.0)
-        hrows = HB // 128
-        vol_ref[0, pl.ds(ch * hrows, hrows), :] = wt.reshape(hrows, 128)
-        cvol_ref[0, :, pl.ds(ch * hrows, hrows), :] = jnp.concatenate(
-            [rgb_out, flag[None, :]], axis=0
-        ).reshape(4, hrows, 128)
+        wt_next = jnp.where(in_front, -limit, jnp.where(in_band, accum, wt))
+        tw_next = jnp.where(in_band & (new_tw > 0.0), new_tw, tw)
+        wt = jnp.where(skip, -limit, wt_next)
+        tw = jnp.where(skip, tw, tw_next)
+
+        # color blend terms (tsdf_raymarch.fs:295-320)
+        dist = jnp.abs(depth - d_vox)
+        q_c = jnp.where(dist < limit, qual, 0.0)
+        w_c = q_c / (dist + 0.01)
+        rgb = jnp.stack([r_, g_, b_])
+        tc = tc + rgb * w_c[None, :]
+        tcw = tcw + w_c
+        w2 = 1.0 / jnp.maximum(dist, 1e-9)
+        tc2 = tc2 + rgb * w2[None, :]
+        tcw2 = tcw2 + w2
+
+        wt_ref[ch] = wt
+        tw_ref[ch] = tw
+        tc_ref[:, ch, :] = tc
+        tcw_ref[ch] = tcw
+        tc2_ref[:, ch, :] = tc2
+        tcw2_ref[ch] = tcw2
+
+        @pl.when(k == num_k - 1)
+        def _finalize():
+            hasq = tcw > 0.0
+            rgb_out = jnp.where(
+                hasq[None, :],
+                tc / jnp.maximum(tcw, 1e-20)[None, :],
+                tc2 / jnp.maximum(tcw2, 1e-20)[None, :],
+            )
+            flag = jnp.where(hasq, 1.0, -1.0)
+            hrows = HB // 128
+            vol_ref[0, pl.ds(ch * hrows, hrows), :] = wt.reshape(hrows, 128)
+            cvol_ref[0, :, pl.ds(ch * hrows, hrows), :] = jnp.concatenate(
+                [rgb_out, flag[None, :]], axis=0
+            ).reshape(4, hrows, 128)
 
 
 def expand_xblocks(packed_cf: jnp.ndarray) -> jnp.ndarray:
@@ -307,28 +323,20 @@ def integrate_sparse_pallas(
     # minor dimension to full lanes, so keep them 1-D
     offs = (offs3[..., 0] << 16 | offs3[..., 1]).reshape(-1)  # [MB * K]
 
-    # channel-major brick slices for lane-friendly VMEM layout
-    tables_t = jnp.transpose(tables.pos_blocked, (0, 1, 3, 2))  # [K, NB, 3, B3]
+    # channel-major brick slices for lane-friendly VMEM layout; channel dim
+    # padded to the sublane tile (4) so whole-brick DMA slices stay aligned
+    tables_t = jnp.pad(
+        jnp.transpose(tables.pos_blocked, (0, 1, 3, 2)), ((0, 0),) * 2 + ((0, 1), (0, 0))
+    )  # [K, NB, 4, B3]
 
     # invalid entries write the trash block NB
     sel = jnp.where(valid_list, idx_list, nb).astype(jnp.int32)
-
-    vol_init = jnp.full((nb + 1, 32, 128), -cfg.limit, jnp.float32)
-    cvol_init = jnp.zeros((nb + 1, 4, 32, 128), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # sel, offs
         grid=(max_bricks, num_k, CH),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, 3, B3),
-                # clamp: invalid slots carry sel == nb (the trash OUTPUT
-                # block) which is out of bounds for the nb-entry table
-                lambda i, k, ch, sel_ref, offs_ref: (
-                    k, jnp.minimum(sel_ref[i], nb - 1), 0, 0
-                ),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),    # tables_t (manual DMA)
             pl.BlockSpec(memory_space=pltpu.HBM),    # packed_xb (manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # corner
             pl.BlockSpec(memory_space=pltpu.HBM),    # vol_init (aliased)
@@ -348,18 +356,22 @@ def integrate_sparse_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 6, WY, WX), jnp.float32),
+            pltpu.VMEM((4, B3), jnp.float32),
             pltpu.VMEM((CH, HB), jnp.float32),       # wt
             pltpu.VMEM((CH, HB), jnp.float32),       # tw
             pltpu.VMEM((3, CH, HB), jnp.float32),    # tc
             pltpu.VMEM((CH, HB), jnp.float32),       # tcw
             pltpu.VMEM((3, CH, HB), jnp.float32),    # tc2
             pltpu.VMEM((CH, HB), jnp.float32),       # tcw2
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
+    vol_init = jnp.full((nb + 1, 32, 128), -cfg.limit, jnp.float32)
+    cvol_init = jnp.zeros((nb + 1, 4, 32, 128), jnp.float32)
+
     kernel = functools.partial(
-        _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
+        _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit), nb_trash=nb,
     )
 
     vol_bm, cvol_bm = pl.pallas_call(
@@ -375,14 +387,14 @@ def integrate_sparse_pallas(
 
     # assemble: drop the trash block, transpose block-major -> voxel order
     blocks = vol_bm[:nb].reshape(nb, B3)
-    cvol_bm = cvol_bm.reshape(nb + 1, 4, B3)
+    cvol_bm = cvol_bm[:nb].reshape(nb, 4, B3)
     nz, ny, nx = vz // BRICK, vy // BRICK, vx // BRICK
     vol = (
         blocks.reshape(nz, ny, nx, BRICK, BRICK, BRICK)
         .transpose(0, 3, 1, 4, 2, 5)
         .reshape(vz, vy, vx)
     )
-    cb = cvol_bm[:nb]                       # [NB, 4, B3]
+    cb = cvol_bm                            # [NB, 4, B3]
     cvol = (
         cb.reshape(nz, ny, nx, 4, BRICK, BRICK, BRICK)
         .transpose(0, 4, 1, 5, 2, 6, 3)
