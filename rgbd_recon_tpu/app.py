@@ -178,10 +178,15 @@ class KinectClientApp:
             self.reader = StreamReader(paths, self.fmt, looping=True)
             self.log(f"replaying {len(paths)} streams, {len(self.reader)} frames")
         else:
-            from .io.ingest import ZMQIngest
+            from .io.ingest import ZMQIngest, DeviceFeed
 
-            self.ingest = ZMQIngest(server_socket, self.calib_files.num, self.fmt)
+            # u8 color stays u8 until the device (4x less decode + H2D work)
+            self.ingest = ZMQIngest(
+                server_socket, self.calib_files.num, self.fmt, color_u8=True
+            )
             self.ingest.start()
+            # device staging overlaps H2D with the previous frame's compute
+            self.feed = DeviceFeed()
             self.log(f"subscribed to tcp://{server_socket}")
 
         self.feedback = None
@@ -192,8 +197,6 @@ class KinectClientApp:
             self.feedback.start()
 
         self._frames_done = 0
-        self._last_depth = None
-        self._last_color = None
         db = TimerDatabase.instance()
         for t in ("draw", "1preprocess", "2integrate", "3recon", "holefill"):
             db.add_timer(t)
@@ -201,7 +204,9 @@ class KinectClientApp:
     # ------------------------------------------------------------------
 
     def _acquire(self):
-        """Next sensor frame (depth, color) or None."""
+        """Next sensor frame (depth, color) or None. Live frames go through
+        the DeviceFeed so H2D of frame N+1 overlaps frame N's compute
+        (≙ the reference's double-PBO handoff)."""
         if self.reader is not None:
             got = self.reader.read()
             if got is None:
@@ -209,10 +214,8 @@ class KinectClientApp:
             return got
         swap = self.ingest.buffer.swap_if_dirty()
         if swap is not None:
-            self._last_depth, self._last_color = swap[0].copy(), swap[1].copy()
-        if self._last_depth is None:
-            return None
-        return self._last_depth, self._last_color
+            self.feed.stage(swap[0].copy(), swap[1].copy(), swap[2])
+        return self.feed.advance()
 
     def frame_step(self):
         """One frame: acquire + reconstruct (≙ frameStep/draw3d)."""

@@ -110,3 +110,56 @@ def test_app_mode_dispatch(scene_dir, monkeypatch):
     rc = app.run()
     assert rc == 0
     assert glob.glob(str(d / "frames0" / "frame_*.png"))
+
+
+def test_app_live_zmq(scene_dir, monkeypatch):
+    """Live mode end to end: a localhost PUB feeds the app through ZMQIngest
+    + DeviceFeed; frames render and dump."""
+    zmq = pytest.importorskip("zmq")
+    import threading
+    import time
+
+    from rgbd_recon_tpu.io.stream import FrameFormat
+
+    d = scene_dir["dir"]
+    monkeypatch.chdir(d)
+    cfg = AppConfig()
+    load_config(cfg, scene_dir["conf"])
+    cfg.play = False
+    cfg.time_limit = 0
+
+    port = 17421
+    ctx = zmq.Context(1)
+    pub = ctx.socket(zmq.PUB)
+    pub.bind(f"tcp://127.0.0.1:{port}")
+    stop = threading.Event()
+
+    depth, color = scene_dir["depth"], scene_dir["color"]
+
+    def feed():
+        parts = [np.float64(1.0).tobytes()]
+        for k in range(depth.shape[0]):
+            img = np.clip(np.rint(color[k] * 255), 0, 255).astype(np.uint8)
+            parts.append(img.tobytes())
+            parts.append(depth[k].astype(np.float32).tobytes())
+        msg = b"".join(parts)
+        while not stop.is_set():
+            pub.send(msg)
+            time.sleep(0.05)
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    try:
+        app = KinectClientApp(
+            "scene.ks", cfg, server_socket=f"127.0.0.1:{port}",
+            out_dir=str(d / "frames_live"), dump_every=1, max_frames=2,
+            log=lambda *a: None,
+        )
+        rc = app.run()
+        assert rc == 0
+        assert app._frames_done >= 2
+        assert glob.glob(str(d / "frames_live" / "frame_*.png"))
+    finally:
+        stop.set()
+        pub.close(0)
+        ctx.term()

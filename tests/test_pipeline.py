@@ -59,3 +59,29 @@ def test_inpaint_pyramid_fills_holes():
     assert np.mean(hole_cols[:, 0] > 0.2) > 0.9  # red-ish fill
     # valid pixels keep their lod-0 color
     np.testing.assert_allclose(filled[valid][:, :3], color[valid][:, :3], atol=1e-5)
+
+
+def test_orbit_recompiles_only_renderer(small_rig):
+    """A full camera orbit may recompile ONLY the render stage (<= 6
+    axis/flip variants); preprocess/integrate/holefill compile once
+    (VERDICT: the round-1 monolith recompiled everything per axis)."""
+    from rgbd_recon_tpu.utils.navigator import CameraNavigator
+
+    rig = small_rig["rig"]
+    pipe = FramePipeline(
+        rig,
+        PipelineConfig(
+            render_width=96, render_height=64, tsdf_res=(32, 32, 32),
+            voxel_size=float(np.max(small_rig["bbox"].size / 32)),
+            brick_size=0.2, num_lods=3,
+        ),
+    )
+    nav = CameraNavigator(zoom=2.5)
+    proj = pipe.default_camera()[1]
+    for mv in nav.orbit_frames(8):
+        out = pipe.step(small_rig["depth"], small_rig["color"], mv, proj)
+    assert np.isfinite(np.asarray(out.color)).all()
+    assert pipe._pre._cache_size() == 1
+    assert pipe._integrate._cache_size() == 1
+    assert pipe._fill._cache_size() == 1
+    assert 1 <= pipe._render._cache_size() <= 6
