@@ -280,8 +280,15 @@ def render_fast(
     fr_cl = jnp.clip(fr, 0.0, ti - 1.0)
     fc_cl = jnp.clip(fc, 0.0, si - 1.0)
     if h % 8 == 0 and w % 32 == 0:
+        # window sized to the screen-tile footprint on the intermediate
+        # grid (scale ratio + homography margin), rounded to sublanes
+        def _ru8(n):
+            return -(-n // 8) * 8
+
+        wh_w = min(_ru8(math.ceil(8 * ti / h) + 8), ti)
+        ww_w = min(_ru8(math.ceil(32 * si / w) + 16), si)
         warped = sample2d_blocked_px(
-            packed, fr_cl, fc_cl, tile=(8, 32), window=(16, 48),
+            packed, fr_cl, fc_cl, tile=(8, 32), window=(wh_w, ww_w),
             precise_channels=(1,),  # hit_s carries depth
         )
     else:  # odd render sizes: per-pixel taps (tests at tiny resolutions)
