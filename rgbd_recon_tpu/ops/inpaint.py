@@ -43,8 +43,10 @@ def inpaint_downsample(color: jnp.ndarray, depth: jnp.ndarray):
     # reshape-parity tap extraction: offset oy = 2*(block shift) + parity, so
     # each tap is a contiguous block slice + a fixed parity index — no
     # stride-2 slicing on the minor (lane) axis
-    cq = cpad.reshape(hp, 2, wp, 2, 4)
-    dq = dpad.reshape(hp, 2, wp, 2)
+    # ONE relayout into the 4 parity planes, then every tap is a contiguous
+    # slice (16 mixed-stride extractions cost ~8 ms at 720p)
+    cq = cpad.reshape(hp, 2, wp, 2, 4).transpose(1, 3, 0, 2, 4)  # [2,2,hp,wp,4]
+    dq = dpad.reshape(hp, 2, wp, 2).transpose(1, 3, 0, 2)        # [2,2,hp,wp]
 
     cols = []
     deps = []
@@ -52,8 +54,8 @@ def inpaint_downsample(color: jnp.ndarray, depth: jnp.ndarray):
         sy, ry = divmod(oy, 2)
         for ox in range(4):
             sx, rx = divmod(ox, 2)
-            c = cq[sy : sy + h2, ry, sx : sx + w2, rx]
-            d = dq[sy : sy + h2, ry, sx : sx + w2, rx]
+            c = cq[ry, rx, sy : sy + h2, sx : sx + w2]
+            d = dq[ry, rx, sy : sy + h2, sx : sx + w2]
             cols.append(c)
             deps.append(d)
     cols = jnp.stack(cols)          # [16, h2, w2, 4]
@@ -75,7 +77,7 @@ def inpaint_downsample(color: jnp.ndarray, depth: jnp.ndarray):
     # all-hole windows (tsdf_inpaint.fs:59-68): keep the center depth; mark
     # r=-1 holes in front of geometry, background otherwise.
     # depth[2i, 2j] == dpad[1 + 2i, 1 + 2j] -> block i, parity 1
-    d_center = dq[:h2, 1, :w2, 1]
+    d_center = dq[1, 1, :h2, :w2]
     empty = cnt == 0
     hole_color = jnp.where(
         (d_center < 1.0)[..., None],
