@@ -201,12 +201,18 @@ def brick16_mask(voxel_mask: jnp.ndarray) -> jnp.ndarray:
 
 def occupied_list(mask16: jnp.ndarray, max_bricks: int):
     """Fixed-capacity occupied-brick index list (device-resident — replaces
-    the reference's GPU->CPU readback, recon_integration.cpp:430-445)."""
+    the reference's GPU->CPU readback, recon_integration.cpp:430-445).
+
+    One cumsum + one scatter (jnp.nonzero's fixed-size path cost ~13 ms on
+    the target backend for a 4096-entry mask)."""
     flat = mask16.ravel()
-    idx = jnp.nonzero(flat, size=max_bricks, fill_value=0)[0]
-    n = jnp.sum(flat)
-    valid = jnp.arange(max_bricks) < n
-    return idx.astype(jnp.int32), valid
+    c = jnp.cumsum(flat.astype(jnp.int32))
+    slot = jnp.where(flat, c - 1, max_bricks)        # OOB slots dropped
+    idx = jnp.zeros((max_bricks,), jnp.int32).at[slot].set(
+        jnp.arange(flat.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    valid = jnp.arange(max_bricks) < c[-1]
+    return idx, valid
 
 
 def _hat(coords: jnp.ndarray, n: int) -> jnp.ndarray:

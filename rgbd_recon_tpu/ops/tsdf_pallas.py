@@ -74,6 +74,17 @@ def _onehot2d(idx_col: jnp.ndarray, n: int) -> jnp.ndarray:
     return (idx_col == i).astype(jnp.float32)
 
 
+def kernel_tables(tables: IntegrationTables) -> jnp.ndarray:
+    """Kernel-layout warp table [K, NB, 4, B3]: channel-major brick slices
+    (lane-friendly VMEM layout), channel dim padded to the sublane tile so
+    whole-brick DMA slices stay aligned. Pure function of the calibration —
+    compute ONCE and cache (the relayout costs ~10 ms per call at 256^3)."""
+    return jnp.pad(
+        jnp.transpose(tables.pos_blocked, (0, 1, 3, 2)),
+        ((0, 0),) * 2 + ((0, 1), (0, 0)),
+    )
+
+
 def win_offsets_pallas(tables: IntegrationTables, h: int, w: int) -> jnp.ndarray:
     """Per-brick per-sensor (y8, xb) window selectors i32[K, NB, 2]:
     y8 = 8-aligned row origin for a WY-row window; xb = overlapping x-block
@@ -107,14 +118,17 @@ def _kernel(
     tbl_ref,      # HBM  [K, NB, 4, B3] (manual predicated DMA, padded)
     packed_ref,   # HBM  [K, NXB, 6, H, WX] (manual window DMA)
     corner_ref,   # VMEM [K, 8]
-    vol_in_ref,   # HBM  (aliased init — unvisited blocks keep clear values)
-    cvol_in_ref,  # HBM  (aliased init)
-    # outputs
-    vol_ref,      # VMEM [1, 32, 128]
-    cvol_ref,     # VMEM [1, 4, 32, 128]
+    # outputs (HBM — written once per brick by manual DMA; the BlockSpec
+    # output machinery copied blocks back EVERY program because dynamic
+    # index maps defeat revisit detection: ~6 us per program, half the
+    # kernel time)
+    vol_ref,      # HBM [NB+1, 32, 128]
+    cvol_ref,     # HBM [NB+1, 4, 32, 128]
     # scratch (persist across grid steps)
     wnd_ref,      # VMEM [2, 6, WY, WX] (double-buffered sensor windows)
     tblv_ref,     # VMEM [4, B3] (current brick's warp-table slice, padded)
+    vblk_ref,     # VMEM [32, 128] assembled output block
+    cblk_ref,     # VMEM [4, 32, 128]
     wt_ref,       # VMEM [CH, HB]  weighted TSDF
     tw_ref,       # VMEM [CH, HB]  total weight
     tc_ref,       # VMEM [3, CH, HB]
@@ -126,7 +140,6 @@ def _kernel(
 ):
     i = pl.program_id(0)
     k = pl.program_id(1)
-    ch = pl.program_id(2)
     n_windows = pl.num_programs(0) * num_k
 
     idx = i * num_k + k          # window sequence number
@@ -150,11 +163,11 @@ def _kernel(
     j_next = jnp.minimum(jax.lax.div(idx + 1, num_k), pl.num_programs(0) - 1)
     valid_next = sel_ref[j_next] != nb_trash
 
-    @pl.when(jnp.logical_and(jnp.logical_and(idx == 0, ch == 0), valid_cur))
+    @pl.when(jnp.logical_and(idx == 0, valid_cur))
     def _bootstrap():
         win_dma(0, 0).start()
 
-    @pl.when(jnp.logical_and(ch == 0, valid_cur))
+    @pl.when(valid_cur)
     def _rotate():
         tbl_dma = pltpu.make_async_copy(
             tbl_ref.at[k, sel_ref[i]], tblv_ref, sems.at[2]
@@ -170,12 +183,18 @@ def _kernel(
 
     @pl.when(valid_cur)
     def _compute():
-        packed_off = offs_ref[idx]
-        y_lo = packed_off >> 16
-        xblk = packed_off & 0xFFFF
+      packed_off = offs_ref[idx]
+      y_lo = packed_off >> 16
+      xblk = packed_off & 0xFFFF
 
-        lo = ch * HB
-        pc = tblv_ref[:, pl.ds(lo, HB)]           # [3, HB]
+      def chunk_body(ch, _):
+        # CH == 2: lane-dim table halves picked with STATIC slices per
+        # branch (a dynamic lane slice forces a relayout)
+        pc = jax.lax.cond(
+            ch == 0,
+            lambda: tblv_ref[:, :HB],
+            lambda: tblv_ref[:, HB:],
+        )                                         # [4(pad), HB]
         u, v, d_vox = pc[0], pc[1], pc[2]
         invalid = u < 0.0
         ux_l = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
@@ -275,10 +294,27 @@ def _kernel(
             )
             flag = jnp.where(hasq, 1.0, -1.0)
             hrows = HB // 128
-            vol_ref[0, pl.ds(ch * hrows, hrows), :] = wt.reshape(hrows, 128)
-            cvol_ref[0, :, pl.ds(ch * hrows, hrows), :] = jnp.concatenate(
+            vblk_ref[pl.ds(ch * hrows, hrows), :] = wt.reshape(hrows, 128)
+            cblk_ref[:, pl.ds(ch * hrows, hrows), :] = jnp.concatenate(
                 [rgb_out, flag[None, :]], axis=0
             ).reshape(4, hrows, 128)
+
+            @pl.when(ch == CH - 1)
+            def _flush():
+                dv = pltpu.make_async_copy(
+                    vblk_ref, vol_ref.at[sel_ref[i]], sems.at[3]
+                )
+                dc = pltpu.make_async_copy(
+                    cblk_ref, cvol_ref.at[sel_ref[i]], sems.at[4]
+                )
+                dv.start()
+                dc.start()
+                dv.wait()
+                dc.wait()
+
+        return 0
+
+      jax.lax.fori_loop(0, CH, chunk_body, 0)
 
 
 def expand_xblocks(packed_cf: jnp.ndarray) -> jnp.ndarray:
@@ -300,6 +336,7 @@ def integrate_sparse_pallas(
     mask16: jnp.ndarray,
     max_bricks: int = 1024,
     win_off: jnp.ndarray | None = None,
+    tables_kernel: jnp.ndarray | None = None,
     interpret: bool = False,
 ):
     """Drop-in replacement for tsdf_fast.integrate_sparse (same update math,
@@ -318,57 +355,44 @@ def integrate_sparse_pallas(
     idx_list, valid_list = occupied_list(mask16, max_bricks)
     if win_off is None:
         win_off = win_offsets_pallas(tables, h, w)
+    if tables_kernel is None:
+        tables_kernel = kernel_tables(tables)
     offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
     # pack (y8, xb) into one i32 and flatten: SMEM prefetch arrays pad the
     # minor dimension to full lanes, so keep them 1-D
     offs = (offs3[..., 0] << 16 | offs3[..., 1]).reshape(-1)  # [MB * K]
 
-    # channel-major brick slices for lane-friendly VMEM layout; channel dim
-    # padded to the sublane tile (4) so whole-brick DMA slices stay aligned
-    tables_t = jnp.pad(
-        jnp.transpose(tables.pos_blocked, (0, 1, 3, 2)), ((0, 0),) * 2 + ((0, 1), (0, 0))
-    )  # [K, NB, 4, B3]
+    tables_t = tables_kernel
 
     # invalid entries write the trash block NB
     sel = jnp.where(valid_list, idx_list, nb).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # sel, offs
-        grid=(max_bricks, num_k, CH),
+        grid=(max_bricks, num_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),    # tables_t (manual DMA)
             pl.BlockSpec(memory_space=pltpu.HBM),    # packed_xb (manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # corner
-            pl.BlockSpec(memory_space=pltpu.HBM),    # vol_init (aliased)
-            pl.BlockSpec(memory_space=pltpu.HBM),    # cvol_init (aliased)
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, 32, 128),
-                lambda i, k, ch, sel_ref, offs_ref: (sel_ref[i], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 4, 32, 128),
-                lambda i, k, ch, sel_ref, offs_ref: (sel_ref[i], 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 6, WY, WX), jnp.float32),
             pltpu.VMEM((4, B3), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
+            pltpu.VMEM((4, 32, 128), jnp.float32),
             pltpu.VMEM((CH, HB), jnp.float32),       # wt
             pltpu.VMEM((CH, HB), jnp.float32),       # tw
             pltpu.VMEM((3, CH, HB), jnp.float32),    # tc
             pltpu.VMEM((CH, HB), jnp.float32),       # tcw
             pltpu.VMEM((3, CH, HB), jnp.float32),    # tc2
             pltpu.VMEM((CH, HB), jnp.float32),       # tcw2
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
     )
-
-    vol_init = jnp.full((nb + 1, 32, 128), -cfg.limit, jnp.float32)
-    cvol_init = jnp.zeros((nb + 1, 4, 32, 128), jnp.float32)
 
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit), nb_trash=nb,
@@ -381,13 +405,17 @@ def integrate_sparse_pallas(
             jax.ShapeDtypeStruct((nb + 1, 32, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb + 1, 4, 32, 128), jnp.float32),
         ],
-        input_output_aliases={5: 0, 6: 1},  # init arrays -> outputs
         interpret=interpret,
-    )(sel, offs, tables_t, packed_xb, corner, vol_init, cvol_init)
+    )(sel, offs, tables_t, packed_xb, corner)
 
-    # assemble: drop the trash block, transpose block-major -> voxel order
-    blocks = vol_bm[:nb].reshape(nb, B3)
-    cvol_bm = cvol_bm[:nb].reshape(nb, 4, B3)
+    # assemble: unwritten blocks are garbage (outputs are DMA'd only for
+    # occupied bricks) — mask to clear values, drop the trash block,
+    # transpose block-major -> voxel order
+    visited = jnp.zeros((nb + 1,), jnp.bool_).at[sel].set(True, mode="drop")[:nb]
+    blocks = jnp.where(visited[:, None], vol_bm[:nb].reshape(nb, B3), -cfg.limit)
+    cvol_bm = jnp.where(
+        visited[:, None, None], cvol_bm[:nb].reshape(nb, 4, B3), 0.0
+    )
     nz, ny, nx = vz // BRICK, vy // BRICK, vx // BRICK
     vol = (
         blocks.reshape(nz, ny, nx, BRICK, BRICK, BRICK)

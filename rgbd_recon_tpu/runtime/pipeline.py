@@ -233,7 +233,8 @@ class FramePipeline:
         fine_enough = min(vx, vy, vz) // tsdf_fast.BRICK >= 8
         return fine_enough and jax.default_backend() == "tpu"
 
-    def _integrate_impl(self, frames, mask16, tables, win_off=None):
+    def _integrate_impl(self, frames, mask16, tables, win_off=None,
+                        tables_kernel=None):
         """2integrate (fast path): brick-sparse fused TSDF + color volumes."""
         cfg = self.cfg
         vx, vy, vz = self.tsdf_cfg.res
@@ -247,6 +248,7 @@ class FramePipeline:
                 frames, tables, self.tsdf_cfg, mask16,
                 max_bricks=min(cfg.max_bricks, total_bricks),
                 win_off=win_off,
+                tables_kernel=tables_kernel,
             )
         return tsdf_fast.integrate_sparse(
             frames, tables, self.tsdf_cfg, mask16,
@@ -254,6 +256,19 @@ class FramePipeline:
             window=cfg.sample_window,
             win_off=win_off,
         )
+
+    def _kernel_tables(self):
+        """Cached kernel-layout warp table (pure function of the rig).
+        Host-side cache — the result is passed as a jit ARGUMENT (a cached
+        device array closed over at trace time would be serialized into the
+        compile request)."""
+        if not self._use_pallas():
+            return None
+        if getattr(self, "_tables_kernel", None) is None:
+            from ..ops.tsdf_pallas import kernel_tables
+
+            self._tables_kernel = jax.jit(kernel_tables)(self.tables)
+        return self._tables_kernel
 
     def _get_win_off(self, h: int, w: int):
         """Cached per-brick window origins for the sensor size (pure
@@ -297,7 +312,8 @@ class FramePipeline:
         return inpaint.colorfill(pyr_c, pyr_d)
 
     def _step_impl(self, depth_m, color, modelview, proj, rig=None, warp=None,
-                   tables=None, axis=2, flip=False, win_off=None) -> FrameOutput:
+                   tables=None, axis=2, flip=False, win_off=None,
+                   tables_kernel=None) -> FrameOutput:
         """The fully fused single-program frame (cfg.fused; also the dense
         reference-faithful path when the fast path is disabled). ``rig``,
         ``warp`` and ``tables`` are data arguments (see __init__ note); None
@@ -311,7 +327,9 @@ class FramePipeline:
             depth_m, color, rig, warp
         )
         if self.use_fast:
-            vol, cvol = self._integrate_impl(frames, mask16, tables, win_off)
+            vol, cvol = self._integrate_impl(
+                frames, mask16, tables, win_off, tables_kernel
+            )
             out = self._render_impl(vol, cvol, mask16, (modelview, proj), axis, flip)
         else:
             vol = tsdf_ops.integrate(frames, rig, self.tsdf_cfg, voxel_mask=vox_mask)
@@ -368,13 +386,15 @@ class FramePipeline:
         if self.cfg.fused or not self.use_fast:
             return self._step(
                 depth_m, color, modelview, proj, self.rig, warp, self.tables,
-                axis, flip, win_off,
+                axis, flip, win_off, self._kernel_tables(),
             )
 
         frames, mask, vox_mask, mask16, occupied = self._pre(
             depth_m, color, self.rig, warp
         )
-        vol, cvol = self._integrate(frames, mask16, self.tables, win_off)
+        vol, cvol = self._integrate(
+            frames, mask16, self.tables, win_off, self._kernel_tables()
+        )
         out = self._render(vol, cvol, mask16, (modelview, proj), axis, flip)
         color_out = self._fill(out.color, out.depth) if self.cfg.fill_holes else out.color
         return FrameOutput(
@@ -403,7 +423,7 @@ class FramePipeline:
                 out = jax.block_until_ready(
                     self._step(
                         depth_m, color, modelview, proj, self.rig, warp,
-                        self.tables, axis, flip, win_off,
+                        self.tables, axis, flip, win_off, self._kernel_tables(),
                     )
                 )
             return out
@@ -414,7 +434,9 @@ class FramePipeline:
             )
         with db.scope("2integrate"):
             vol, cvol = jax.block_until_ready(
-                self._integrate(frames, mask16, self.tables, win_off)
+                self._integrate(
+                    frames, mask16, self.tables, win_off, self._kernel_tables()
+                )
             )
         with db.scope("3recon"):
             out = jax.block_until_ready(
@@ -450,7 +472,7 @@ class FramePipeline:
             jax.block_until_ready(
                 self._step(
                     depth_m, color, modelview, proj, self.rig, warp,
-                    self.tables, axis, flip, win_off,
+                    self.tables, axis, flip, win_off, self._kernel_tables(),
                 )
             )
             self._log(f"  fused step: {time.time()-t0:.1f}s")
@@ -463,7 +485,9 @@ class FramePipeline:
         t0 = time.time()
         self._log("compiling 2integrate ...")
         vol, cvol = jax.block_until_ready(
-            self._integrate(frames, mask16, self.tables, win_off)
+            self._integrate(
+                frames, mask16, self.tables, win_off, self._kernel_tables()
+            )
         )
         self._log(f"  2integrate: {time.time()-t0:.1f}s")
         t0 = time.time()
