@@ -422,9 +422,8 @@ def integrate_sparse_pallas(
         .transpose(0, 3, 1, 4, 2, 5)
         .reshape(vz, vy, vx)
     )
-    cb = cvol_bm                            # [NB, 4, B3]
     cvol = (
-        cb.reshape(nz, ny, nx, 4, BRICK, BRICK, BRICK)
+        cvol_bm.reshape(nz, ny, nx, 4, BRICK, BRICK, BRICK)
         .transpose(0, 4, 1, 5, 2, 6, 3)
         .reshape(vz, vy, vx, 4)
     )
