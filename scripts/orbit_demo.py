@@ -38,7 +38,10 @@ def main() -> int:
         ),
         log=print,
     )
-    nav = CameraNavigator(zoom=2.2)
+    # zoom 0.45 puts the eye ~2.7 m from the subject (the navigator's
+    # reference-faithful z basis is (0,0,6); the reference's default 2.5
+    # starts 15 m out and expects the user to scroll in)
+    nav = CameraNavigator(zoom=0.45)
     proj = pipe.default_camera()[1]
     os.makedirs(out_dir, exist_ok=True)
     for f, mv in enumerate(nav.orbit_frames(n)):
