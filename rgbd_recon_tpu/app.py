@@ -48,6 +48,19 @@ class AppConfig:
     recon_mode: int = 1
     screen_width: int = 1280
     screen_height: int = 720
+    # stereo state (kinect_client.cpp:55-66 defaults)
+    stereo_mode: int = 0          # 0 mono, 1 anaglyph, 2 side-by-side
+    screen_width_real: float = 1.28   # physical screen metres (-s)
+    screen_height_real: float = 0.72
+    window_width: int = 1280      # side-by-side window (-w)
+    window_height: int = 720
+    left_pos: tuple = (0, 0)      # viewport origins, GL bottom-left (-l/-r)
+    right_pos: tuple = (0, 0)
+    clear_color: tuple = (0.0, 0.0, 0.0, 0.0)   # -c
+    # mono-mode debug overlays (kinect_client.cpp:672-708 GUI toggles;
+    # draw_grid is also a .conf key)
+    draw_frustums: bool = False
+    draw_bricks: bool = False
     play: bool = True
     draw_grid: bool = False
     animate: bool = False
@@ -130,6 +143,9 @@ class KinectClientApp:
         self.log(f"loading scene {ks_path}")
         self.calib_files, self.rig, self.fmt, self.bbox = load_scene(ks_path)
 
+        # side-by-side mode runs without depth-aware color filling
+        # (kinect_client.cpp:641-644 setColorFilling(false))
+        fill_holes = cfg.colorfill and cfg.stereo_mode != 2
         self.pipeline = FramePipeline(
             self.rig,
             PipelineConfig(
@@ -137,13 +153,22 @@ class KinectClientApp:
                 voxel_size=cfg.voxel_size, brick_size=cfg.brick_size,
                 tsdf_limit=cfg.tsdf_limit,
                 use_bricks=cfg.bricking, skip_space=cfg.skip_space,
-                fill_holes=cfg.colorfill,
+                fill_holes=fill_holes,
                 filter_textures=cfg.bilateral,
                 use_processed_depth=cfg.processed,
                 refine_boundary=cfg.refine,
             ),
             log=lambda s: self.log(f"[pipeline] {s}"),
         )
+        self.stereo = None
+        if cfg.stereo_mode in (1, 2):
+            from .utils.stereo import StereoCamera
+
+            # init_stereo_camera (kinect_client.cpp:128-148)
+            self.stereo = StereoCamera(
+                screen_width=cfg.screen_width_real,
+                screen_height=cfg.screen_height_real,
+            )
         ctx = ReconContext(
             rig=self.rig, bbox=self.bbox,
             width=cfg.screen_width, height=cfg.screen_height,
@@ -196,6 +221,18 @@ class KinectClientApp:
             self.feedback = FeedbackReceiver(feedback_socket)
             self.feedback.start()
 
+        if cfg.draw_frustums:
+            # the 8 cv_xyz corner samples per sensor (CalibVolumes.cpp:98-113)
+            # — indexed pulls, never the whole volume (remote D2H is slow)
+            v = self.rig.cv_xyz
+            ez, ey, ex = (int(s) - 1 for s in v.shape[1:4])
+            picks = [(0, 0, 0), (0, ey, 0), (0, ey, ex), (0, 0, ex),
+                     (ez, 0, 0), (ez, ey, 0), (ez, ey, ex), (ez, 0, ex)]
+            self._frustum_corners = np.stack(
+                [np.stack([np.asarray(v[k, z, y, x]) for (z, y, x) in picks])
+                 for k in range(v.shape[0])]
+            )
+
         self._frames_done = 0
         db = TimerDatabase.instance()
         for t in ("draw", "1preprocess", "2integrate", "3recon", "holefill"):
@@ -217,8 +254,71 @@ class KinectClientApp:
             self.feed.stage(swap[0].copy(), swap[1].copy(), swap[2])
         return self.feed.advance()
 
+    def _render_view(self, depth, color, mv, proj, recon_mode=None,
+                     timed=False):
+        """Render one view of the scene with the given camera. Returns
+        (rgba, pipeline FrameOutput or None, preprocessed frames or None)."""
+        cfg = self.cfg
+        mode = cfg.recon_mode if recon_mode is None else recon_mode
+        if mode == 1:
+            step = self.pipeline.step_timed if timed else self.pipeline.step
+            out = step(depth, color, mv, proj)
+            return out.color, out, None
+        frames = self._pp.preprocess(
+            self._jnp.asarray(depth), self._jnp.asarray(color),
+            self.rig, self.pipeline.pre_cfg,
+            self.pipeline._get_warp(depth.shape[1], depth.shape[2]),
+        )
+        from .ops.raymarch import RenderCamera
+
+        cam = RenderCamera(
+            self._jnp.asarray(mv), self._jnp.asarray(proj),
+            cfg.screen_width, cfg.screen_height,
+        )
+        model = self.models[mode]
+        return model.draw_f(frames, cam), None, frames
+
+    def _mono_overlays(self, rgba, out, frames, mv):
+        """draw_grid / draw_frustums / draw_bricks wireframes, mono mode
+        only (kinect_client.cpp:672-708)."""
+        cfg = self.cfg
+        if not (cfg.draw_grid or cfg.draw_frustums or
+                (cfg.draw_bricks and cfg.recon_mode != 1)):
+            return rgba
+        from .utils import overlay
+
+        img = np.asarray(rgba)
+        depth_buf = np.asarray(out.depth) if out is not None else None
+        if cfg.draw_grid:       # g_bbox.draw() (kinect_client.cpp:703-705)
+            img = overlay.draw_segments(
+                img, overlay.bbox_segments(self.bbox), mv, self.proj,
+                color=(1.0, 1.0, 1.0, 1.0), depth=depth_buf,
+            )
+        if cfg.draw_frustums:   # CalibVolumes::drawFrustums
+            for k in range(self._frustum_corners.shape[0]):
+                img = overlay.draw_segments(
+                    img, overlay.frustum_segments(self._frustum_corners[k]),
+                    mv, self.proj, color=(0.0, 1.0, 0.0, 1.0), depth=depth_buf,
+                )
+        if cfg.draw_bricks and cfg.recon_mode != 1 and frames is not None:
+            # drawOccupiedBricks runs only when integration is NOT the
+            # active mode (kinect_client.cpp:682-684)
+            from .ops import bricks as brick_ops
+
+            counts = brick_ops.mark_bricks(
+                frames.world, frames.world_valid, self.pipeline.brick_grid
+            )
+            mask = brick_ops.occupancy_mask(counts, 10)
+            img = overlay.draw_segments(
+                img, overlay.brick_segments(np.asarray(mask),
+                                            self.pipeline.brick_grid),
+                mv, self.proj, color=(1.0, 0.1, 0.1, 1.0), depth=depth_buf,
+            )
+        return img
+
     def frame_step(self):
-        """One frame: acquire + reconstruct (≙ frameStep/draw3d)."""
+        """One frame: acquire + reconstruct (≙ frameStep/draw3d,
+        kinect_client.cpp:580-670 incl. the three stereo modes)."""
         got = self._acquire()
         if got is None:
             return None
@@ -230,26 +330,55 @@ class KinectClientApp:
 
         db = TimerDatabase.instance()
         db.begin("draw")
-        if cfg.recon_mode == 1:
-            out = self.pipeline.step_timed(depth, color, mv, self.proj)
-            rgba = out.color
-        else:
-            frames = self._pp.preprocess(
-                self._jnp.asarray(depth), self._jnp.asarray(color),
-                self.rig, self.pipeline.pre_cfg,
-                self.pipeline._get_warp(depth.shape[1], depth.shape[2]),
-            )
-            from .ops.raymarch import RenderCamera
+        out = None
+        if cfg.stereo_mode == 1:        # ANAGLYPH (kinect_client.cpp:616-633)
+            from .utils.stereo import anaglyph_composite
 
-            cam = RenderCamera(
-                self._jnp.asarray(mv), self._jnp.asarray(self.proj),
-                cfg.screen_width, cfg.screen_height,
+            lmv, lproj = self.stereo.eye_view("left")
+            rmv, rproj = self.stereo.eye_view("right")
+            # update_model_matrix(false): navigation multiplies ON TOP of
+            # the stereo modelview
+            left, _, _ = self._render_view(depth, color, lmv @ mv, lproj)
+            right, _, _ = self._render_view(depth, color, rmv @ mv, rproj)
+            rgba = anaglyph_composite(
+                np.asarray(left), np.asarray(right), cfg.clear_color[3]
             )
-            model = self.models[cfg.recon_mode]
-            rgba = model.draw_f(frames, cam)
-            out = None
+        elif cfg.stereo_mode == 2:      # SIDE-BY-SIDE (:634-670)
+            from .utils.stereo import side_by_side_composite
+
+            fb = self.feedback.get() if self.feedback is not None else None
+            mode = cfg.recon_mode
+            model_mat = mv
+            if fb is not None:
+                self.stereo.set_cyclops_matrix(fb["cyclops"])
+                self.stereo.set_screen_matrix(fb["screen"])
+                model_mat = fb["model"].astype(np.float32)
+                mode = fb["recon_mode"]
+            lmv, lproj = self.stereo.eye_view("left")
+            rmv, rproj = self.stereo.eye_view("right")
+            left, _, _ = self._render_view(
+                depth, color, lmv @ model_mat, lproj, recon_mode=mode)
+            right, _, _ = self._render_view(
+                depth, color, rmv @ model_mat, rproj, recon_mode=mode)
+            rgba = side_by_side_composite(
+                (cfg.window_height, cfg.window_width),
+                np.asarray(left), cfg.left_pos,
+                np.asarray(right), cfg.right_pos,
+            )
+        else:                           # MONO (:609-615)
+            rgba, out, frames = self._render_view(
+                depth, color, mv, self.proj, timed=True)
+            rgba = self._mono_overlays(rgba, out, frames, mv)
         db.end("draw", sync=rgba)
         self._frames_done += 1
+
+        if cfg.watch_errors:
+            # ≙ watch_gl_errors (kinect_client.cpp:1017-1049): every frame
+            # is checked and corruption throws instead of propagating
+            if not np.all(np.isfinite(np.asarray(rgba))):
+                raise RuntimeError(
+                    f"watch_errors: non-finite values in frame {self._frames_done}"
+                )
 
         if self.dump_every and self._frames_done % self.dump_every == 0:
             self._dump_frame(np.asarray(rgba), depth, color, out)
@@ -341,6 +470,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_opt("dump-every", 1, "dump_every", "dump a PNG every N frames")
     p.add_opt("dump-textures", 0, "dump_textures", "also dump processed sensor textures")
     p.add_opt("frames", 1, "frames", "stop after N frames")
+    p.add_opt("draw-frustums", 0, "draw_frustums", "overlay calibration frustum wireframes")
+    p.add_opt("draw-bricks", 0, "draw_bricks", "overlay occupied-brick wireframes (modes != 1)")
     p.init(argv)
 
     cfg = AppConfig()
@@ -353,6 +484,23 @@ def main(argv: list[str] | None = None) -> int:
         load_config(cfg, args[1])
     if p.is_opt_set("d"):
         cfg.screen_width, cfg.screen_height = p.get_opts_int("d")
+    # stereo geometry (kinect_client.cpp:888-930)
+    if p.is_opt_set("s"):
+        cfg.screen_width_real, cfg.screen_height_real = p.get_opts_float("s")
+    if p.is_opt_set("w"):
+        cfg.window_width, cfg.window_height = p.get_opts_int("w")
+    if p.is_opt_set("l"):
+        cfg.left_pos = tuple(p.get_opts_int("l"))
+    if p.is_opt_set("r"):
+        cfg.right_pos = tuple(p.get_opts_int("r"))
+    if p.is_opt_set("m"):
+        cfg.stereo_mode = int(p.get_opts_int("m")[0])
+    if p.is_opt_set("c"):
+        cfg.clear_color = tuple(p.get_opts_float("c"))
+    if p.is_opt_set("draw-frustums"):
+        cfg.draw_frustums = True
+    if p.is_opt_set("draw-bricks"):
+        cfg.draw_bricks = True
     server_socket = p.get_opts_string("p")[0] if p.is_opt_set("p") else "127.0.0.1:7000"
     if p.is_opt_set("p"):
         cfg.play = False  # explicit live source

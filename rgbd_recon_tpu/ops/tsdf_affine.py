@@ -1,0 +1,243 @@
+"""Per-brick affine warp coefficients — the compact replacement for the
+dense voxel->sensor warp table.
+
+The baked table (tsdf_fast.precompute_tables) stores cv_xyz_inv resampled at
+every voxel: ~800 MB at 256^3 x 4 sensors, minutes of bake, and the dominant
+per-brick DMA traffic of the integration kernel. But the warp is the
+trilinear interpolation of a smooth calibration volume (the reference
+samples it per voxel per frame, tsdf_integration.vs:31): over one 16^3
+brick it is affine to ~1e-4 in normalized sensor units for pinhole-like
+rigs (curvature of the projective map over a ~0.14 m brick at >= 0.5 m).
+
+So per (sensor, brick) we store 12 floats — the least-squares affine fit
+
+    (u, v, d_norm)(voxel) = C @ [1, z - 7.5, y - 7.5, x - 7.5]
+
+over the brick's VALID voxels (the inverse bake marks off-frustum voxels
+(-1,-1,-1), calibration_inverter.cpp:95-98; blending across that cliff
+would poison the fit). The fit is exact LSQ per brick (4x4 normal
+equations, ridge-stabilized), computed on device one brick-z-slab at a
+time so the dense table is never materialized. At 256^3 x 4 sensors the
+result is 1 MB instead of 800 MB and bakes in ~1 s instead of ~1 min.
+
+Deviations vs the exact table (documented):
+* residual: max |fit - table| over valid voxels is measured at bake time
+  and returned in AffineTables.max_err; callers should fall back to the
+  table path when it exceeds their parity budget.
+* frustum-edge bricks: voxels invalid in the table (u < 0) extrapolate
+  under the affine fit and may classify as valid (and vice versa) within
+  ~1 voxel of the frustum boundary. The reference's own behaviour there is
+  the GL border clamp of a voxelized frustum mask — the same deviation
+  class as the fast path's fixed sampling window.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .tsdf import TsdfConfig
+from .tsdf_fast import BRICK, IntegrationTables, _gl_resize_weights
+from ..calibration.rig import RigCalibration
+
+B3 = BRICK**3
+
+
+class AffineTables(NamedTuple):
+    """coeffs f32[K, NB, 4, NBASIS]: [..., chan, basis] with chan =
+    (u, v, d, pad) and the quadratic basis of _brick_basis (local coords =
+    in-brick voxel index - 7.5).
+    An all-invalid (sensor, brick) stores the constant u = -1 row so the
+    kernel's u < 0 gate skips it. max_err f32[3]: bake-time max residual vs
+    the exact table over valid voxels, per channel (u, v, d)."""
+
+    coeffs: jnp.ndarray
+    max_err: jnp.ndarray
+    n_cliff: jnp.ndarray   # i32[]: table-valid voxels excluded as
+                           # cliff-corrupted (fit quality diagnostics)
+
+
+NBASIS = 10
+
+
+def _brick_basis() -> np.ndarray:
+    """f32[10, B3] full quadratic basis (1, lz, ly, lx, lz2, ly2, lx2,
+    lzly, lzlx, lylx) on centered in-brick coordinates; voxel order matches
+    tsdf_fast._to_blocked (z-major within the brick).
+
+    Quadratic, not affine: the projective warp's second-order term
+    (~(brick/distance)^2, worst-case ~5e-3 in normalized u at 256^3) flips
+    silhouette/truncation gates on ~0.3% of voxels; the quadratic fit
+    pushes the residual to the third-order term (~1e-4) at zero extra
+    kernel cost (the per-brick basis matmul pads to 16 rows either way)."""
+    idx = np.arange(B3)
+    lz = (idx // (BRICK * BRICK)).astype(np.float32) - (BRICK - 1) / 2.0
+    ly = ((idx // BRICK) % BRICK).astype(np.float32) - (BRICK - 1) / 2.0
+    lx = (idx % BRICK).astype(np.float32) - (BRICK - 1) / 2.0
+    one = np.ones(B3, np.float32)
+    return np.stack([one, lz, ly, lx,
+                     lz * lz, ly * ly, lx * lx,
+                     lz * ly, lz * lx, ly * lx])
+
+
+# the fit solves in a normalized basis (slopes scaled to ~[-1, 1]) so the
+# f32 Gram stays well-conditioned; coefficients are unscaled afterwards
+_BASIS_SCALE = np.array(
+    [1.0, 8.0, 8.0, 8.0, 64.0, 64.0, 64.0, 64.0, 64.0, 64.0], np.float32
+)
+
+
+def _lsq(f, m, basis, prec):
+    """Masked per-brick LSQ. f [K, nb, B3, 3]; m [K, nb, B3] weights.
+    Returns coeffs [K, nb, 4(basis), 3(chan)]."""
+    nvalid = jnp.sum(m, axis=-1)
+    mb = m[..., None, :] * basis                  # [K, nb, 4, B3]
+    gram = jnp.einsum("knav,bv->knab", mb, basis,
+                      preferred_element_type=jnp.float32, precision=prec)
+    rhs = jnp.einsum("knav,knvc->knac", mb, f,
+                     preferred_element_type=jnp.float32, precision=prec)
+    ridge = (1e-6 * jnp.maximum(nvalid, 1.0))[..., None, None] * jnp.eye(NBASIS)
+    return jnp.linalg.solve(gram + ridge, rhs), nvalid
+
+
+def _interior(n_src: int, n_dst: int) -> np.ndarray:
+    """bool[n_dst]: voxels whose GL sample coordinate is NOT edge-clamped
+    (the outer half-texel shell of _gl_resize_weights reads a constant —
+    not affine — so it is excluded from the fit and extrapolated instead)."""
+    t = (np.arange(n_dst, dtype=np.float64) + 0.5) / n_dst
+    c = t * n_src - 0.5
+    return (c >= 0.0) & (c <= n_src - 1)
+
+
+def _fit_slab(src: jnp.ndarray, wd_slab: jnp.ndarray, wh: jnp.ndarray,
+              ww: jnp.ndarray, basis: jnp.ndarray, interior: jnp.ndarray):
+    """Fit one brick-z-slab. src f32[K, D, H, W, 3]; wd_slab f32[16, D];
+    wh f32[Vy, H]; ww f32[Vx, W]; interior bool[B3-per-brick broadcastable]
+    = [nb_slab, B3]. Returns (coeffs f32[K, nb_slab, 4, 4], err f32[3],
+    n_cliff i32)."""
+    prec = jax.lax.Precision.HIGHEST
+    # 4th channel: off-frustum indicator. A resized voxel whose trilinear
+    # stencil touches ANY (-1,-1,-1) source texel is cliff-contaminated —
+    # its value blends the marker, not the calibration
+    # (calibration_inverter.cpp:95-98) — and is excluded from the fit.
+    # Exact (the indicator resize IS the contamination weight).
+    src4 = jnp.concatenate(
+        [src, (src[..., :1] < 0.0).astype(jnp.float32)], axis=-1
+    )
+    pos = jnp.einsum("Dd,kdhwc->kDhwc", wd_slab, src4,
+                     preferred_element_type=jnp.float32, precision=prec)
+    pos = jnp.einsum("Hh,kDhwc->kDHwc", wh, pos,
+                     preferred_element_type=jnp.float32, precision=prec)
+    pos = jnp.einsum("Ww,kDHwc->kDHWc", ww, pos,
+                     preferred_element_type=jnp.float32, precision=prec)
+    k, bz, vy, vx, _ = pos.shape
+    nby, nbx = vy // BRICK, vx // BRICK
+    # [K, nby, nbx, B3(z-major), 4]
+    f4 = pos.reshape(k, BRICK, nby, BRICK, nbx, BRICK, 4)
+    f4 = f4.transpose(0, 2, 4, 1, 3, 5, 6).reshape(k, nby * nbx, B3, 4)
+    f = f4[..., :3]
+    valid = f[..., 0] >= 0.0                      # [K, nb, B3]
+    clean = valid & (f4[..., 3] < 1e-6) & interior[None]
+
+    # a brick (nearly) fully inside the cliff zone has too few clean voxels
+    # for a stable fit. Its table values are frustum-marker blend garbage
+    # everywhere anyway, so mark the whole (sensor, brick) invalid — the
+    # honest version of sampling garbage.
+    has_clean = jnp.sum(clean, axis=-1) >= 32     # [K, nb]
+    scale = jnp.asarray(_BASIS_SCALE)
+    c_n, nvalid = _lsq(f, clean.astype(jnp.float32),
+                       basis / scale[:, None], prec)
+    c = c_n / scale[None, None, :, None]
+
+    # invalid bricks: constant u = -1 (kernel-side invalid gate); same for
+    # any brick whose solve still went non-finite
+    c_empty = jnp.zeros((NBASIS, 3), jnp.float32).at[0, 0].set(-1.0)
+    bad = ~has_clean | ~jnp.all(jnp.isfinite(c), axis=(-2, -1))
+    c = jnp.where(bad[..., None, None], c_empty, c)
+
+    pred = jnp.einsum("knac,av->knvc", c, basis,
+                      preferred_element_type=jnp.float32, precision=prec)
+    err = jnp.max(
+        jnp.where((clean & ~bad[..., None])[..., None],
+                  jnp.abs(pred - f), 0.0),
+        axis=(0, 1, 2),
+    )                                             # [3]
+    n_cliff = jnp.sum(valid & ~clean)
+    # -> [..., chan, basis] padded to 4 channels
+    cm = jnp.transpose(c, (0, 1, 3, 2))
+    cm = jnp.pad(cm, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    return cm, err, n_cliff
+
+
+def bake_affine(rig: RigCalibration, cfg: TsdfConfig) -> AffineTables:
+    """Bake per-brick affine warp coefficients for every sensor at the
+    volume res. ≙ precompute_tables (tsdf_fast) compressed to 12 floats
+    per brick x sensor; device-resident, slab-streamed (the dense table is
+    never materialized)."""
+    vx, vy, vz = cfg.res
+    assert vx % BRICK == vy % BRICK == vz % BRICK == 0
+    nbz = vz // BRICK
+    src = jnp.asarray(rig.cv_xyz_inv, jnp.float32)
+    wd = _gl_resize_weights(src.shape[1], vz)
+    wh = _gl_resize_weights(src.shape[2], vy)
+    ww = _gl_resize_weights(src.shape[3], vx)
+    basis = jnp.asarray(_brick_basis())
+
+    iy = _interior(src.shape[2], vy)
+    ix = _interior(src.shape[3], vx)
+    iz = _interior(src.shape[1], vz)
+    nby, nbx = vy // BRICK, vx // BRICK
+    # per-brick interior mask in block-voxel order (z-major within brick)
+    iyx = (iy[:, None] & ix[None, :]).reshape(nby, BRICK, nbx, BRICK)
+    iyx = iyx.transpose(0, 2, 1, 3).reshape(nby * nbx, BRICK * BRICK)
+
+    fit = jax.jit(_fit_slab)
+    coeffs, errs, cliffs = [], [], []
+    for bz in range(nbz):
+        izb = iz[bz * BRICK:(bz + 1) * BRICK]     # [16]
+        interior = (izb[None, :, None] & iyx[:, None, :]).reshape(
+            nby * nbx, B3
+        )
+        cm, err, ncl = fit(src, wd[bz * BRICK:(bz + 1) * BRICK], wh, ww,
+                           basis, jnp.asarray(interior))
+        coeffs.append(cm)
+        errs.append(err)
+        cliffs.append(ncl)
+    coeffs = jnp.concatenate(coeffs, axis=1)      # [K, NB, 4, 4]
+    max_err = jnp.max(jnp.stack(errs), axis=0)
+    n_cliff = jnp.sum(jnp.stack(cliffs))
+    return AffineTables(coeffs=coeffs, max_err=max_err, n_cliff=n_cliff)
+
+
+def expand_affine(tables: AffineTables) -> IntegrationTables:
+    """Evaluate the affine model at every voxel -> the dense block-major
+    table (test oracle; also the CPU fallback for small volumes)."""
+    basis = jnp.asarray(_brick_basis())
+    pos = jnp.einsum("knab,bv->knva", tables.coeffs[..., :3, :], basis,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return IntegrationTables(pos_blocked=pos)
+
+
+def win_offsets_affine(tables: AffineTables, h: int, w: int,
+                       wy: int, wx: int, xstride: int) -> jnp.ndarray:
+    """Per-brick per-sensor window selectors i32[K, NB, 2] (y8, xb) from the
+    affine coefficients alone: the footprint midpoint of a brick's valid
+    projections is (to affine accuracy) the center coefficient. Matches
+    tsdf_pallas.win_offsets_pallas's quantization (y 8-aligned, x an
+    overlapping block index of width ``wx`` at stride ``xstride``)."""
+    nxb = w // xstride - 1
+    u0 = tables.coeffs[..., 0, 0]    # [K, NB]
+    v0 = tables.coeffs[..., 1, 0]
+    x_mid = jnp.clip(u0 * w - 0.5, 0.0, w - 1.0)
+    y_mid = jnp.clip(v0 * h - 0.5, 0.0, h - 1.0)
+    xb = jnp.clip(
+        (jnp.floor(x_mid).astype(jnp.int32) - wx // 2 + xstride // 2) // xstride,
+        0, nxb - 1,
+    )
+    y8 = jnp.clip(
+        (jnp.floor(y_mid).astype(jnp.int32) - wy // 2) & ~7, 0, h - wy
+    )
+    return jnp.stack([y8, xb], axis=-1)

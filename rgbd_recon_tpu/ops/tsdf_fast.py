@@ -109,17 +109,21 @@ def precompute_tables(rig: RigCalibration, cfg: TsdfConfig) -> IntegrationTables
     Equivalent to ``sample3d(cv_xyz_inv[k], voxel_centers)`` (the per-voxel
     lookup tsdf_integration.vs:31 does per frame) but hoisted out of the
     frame loop — it only changes when calibration or volume res change.
-    Host numpy (f64 accumulation — the values are sensor coordinates whose
-    precision bounds TSDF parity), block-major layout on device.
+    Host numpy in f32 (hat-weight rows sum to 1, so the resize is a convex
+    combination — relative error ~1e-7, far inside the 1e-3 parity bar;
+    f64 einsums took minutes on the host), block-major layout on device.
     """
     vx, vy, vz = cfg.res
     src = np.asarray(rig.cv_xyz_inv, np.float32)  # [K, Dz, Dy, Dx, 3]
     wd = np.asarray(_gl_resize_weights(src.shape[1], vz), np.float32)
     wh = np.asarray(_gl_resize_weights(src.shape[2], vy), np.float32)
     ww = np.asarray(_gl_resize_weights(src.shape[3], vx), np.float32)
-    pos = np.einsum("Dd,kdhwc->kDhwc", wd, src, optimize=True)
-    pos = np.einsum("Hh,kDhwc->kDHwc", wh, pos, optimize=True)
-    pos = np.einsum("Ww,kDHwc->kDHWc", ww, pos, optimize=True)
+    # tensordot -> one BLAS sgemm per axis (einsum's contraction planner
+    # picked non-GEMM loops here: minutes instead of seconds)
+    pos = np.moveaxis(np.tensordot(wd, src, axes=(1, 1)), 0, 1)  # [K,Vz,H,W,C]
+    pos = np.moveaxis(np.tensordot(wh, pos, axes=(1, 2)), 0, 2)  # [K,Vz,Vy,W,C]
+    pos = np.moveaxis(np.tensordot(ww, pos, axes=(1, 3)), 0, 3)  # [K,Vz,Vy,Vx,C]
+    pos = np.ascontiguousarray(pos, dtype=np.float32)
     blocked = _to_blocked(pos)
     return IntegrationTables(pos_blocked=jnp.asarray(blocked))
 

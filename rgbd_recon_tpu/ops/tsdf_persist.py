@@ -1,0 +1,379 @@
+"""Persistent-program Pallas TSDF integration (affine warp edition).
+
+Round-2's kernel (ops/tsdf_pallas.py) laid the work out as a
+(max_bricks x sensors) Pallas grid: ~8192 program slots per frame, ~95% of
+them padding (predicated off), at a measured ~6.4 us of per-program
+sequencing overhead on the target — ~52 ms/frame of pure overhead, by far
+the largest single cost in the pipeline. A TPU v5e core runs grid programs
+SEQUENTIALLY anyway, so the grid bought nothing but overhead.
+
+This kernel is ONE program. It reads the occupied-brick count from scalar
+prefetch and runs a dynamic-trip ``fori_loop`` over exactly the occupied
+bricks — no padding slots, no per-program overhead, and the loop body keeps
+the whole machinery of the old kernel:
+
+  * per-brick sensor image windows (WY x WX) double-buffered via manual DMA
+    (brick b+1's windows prefetch while brick b computes),
+  * gather-as-matmul sampling: NEAREST depth via exact one-hot weights +
+    hi/lo split, LINEAR quality/silhouette/color via bf16 hat weights
+    (same exactness argument as tsdf_pallas.py, SIL_PL gate),
+  * per-chunk fusion state in registers (sensors unrolled inside the loop
+    body instead of spread across grid steps — no scratch round-trips),
+  * double-buffered output flush (one 16^3 block + color block per brick).
+
+The voxel->sensor warp comes from per-brick AFFINE COEFFICIENTS
+(ops/tsdf_affine.py) instead of the ~800 MB dense table: 16 floats per
+brick x sensor, evaluated in-kernel as one tiny matmul against the static
+local-coordinate basis. This removes the table DMA entirely (the old
+kernel's largest input stream) and the minutes-long bake.
+
+Validity: the affine model extrapolates smoothly, so off-frustum voxels
+are gated analytically — (u, v, d) outside [0,1]^3 is invalid — replacing
+the table's interpolated (-1) markers (calibration_inverter.cpp:95-98).
+Invalid voxels take the image corner values, the GL clamp behaviour of
+sampling at (-1,-1) (tsdf_integration.vs:31-39).
+
+Reference math: tsdf_integration.vs:23-59 (fusion update),
+tsdf_raymarch.fs:295-320 (color blend terms), recon_integration.cpp:242-269
+(per-occupied-brick integration loop).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tsdf import TsdfConfig
+from .tsdf_fast import BRICK, occupied_list, pack_frames
+from .tsdf_affine import AffineTables, NBASIS, _brick_basis, win_offsets_affine
+
+NB_PAD = 16   # basis rows padded to a sublane tile
+from .tsdf_pallas import (
+    B3, CH, HB, SIL_PL, WY, WX, XSTRIDE, _hat2d, _onehot2d, expand_xblocks,
+)
+
+
+def _kernel(
+    # scalar prefetch
+    count_ref,    # i32[1]    occupied-brick count
+    sel_ref,      # i32[MB]   brick index (into NB) per occupied slot
+    offs_ref,     # i32[MB*K] packed window origin (y8 << 16 | xblock)
+    # inputs
+    cmat_ref,     # HBM f32[MB, NB_PAD, K*4] per-slot warp coeffs,
+                  # basis-major (cmat[b, a, 4k+c] = coeff of basis fn a for
+                  # channel c of sensor k — dot-ready without an in-kernel
+                  # reshape, which Mosaic's layout inference rejects);
+                  # DMA'd per brick alongside the windows
+    basis_ref,    # VMEM f32[NB_PAD, B3] quadratic local-coordinate basis
+    corner_ref,   # VMEM f32[K, 8]    image corner values (GL clamp target)
+    packed_ref,   # HBM  f32[K, NXB, 6, H, WX] overlapping x-blocks
+    # outputs
+    vol_ref,      # HBM f32[NB, 32, 128]      TSDF blocks (block-major)
+    cvol_ref,     # HBM f32[NB, 4, 32, 128]   color blocks
+    # scratch
+    wnd_ref,      # VMEM f32[2, K, 6, WY, WX]
+    cmbuf_ref,    # VMEM f32[2, NB_PAD, K*4]
+    vblk_ref,     # VMEM f32[2, 32, 128]
+    cblk_ref,     # VMEM f32[2, 4, 32, 128]
+    win_sems,     # DMA (2, K)
+    cm_sems,      # DMA (2,)
+    out_sems,     # DMA (2, 2)
+    *, num_k: int, h: int, w: int, limit: float,
+):
+    count = count_ref[0]
+
+    def win_dma(b, slot, k):
+        po = offs_ref[b * num_k + k]
+        return pltpu.make_async_copy(
+            packed_ref.at[k, po & 0xFFFF, :, pl.ds(po >> 16, WY), :],
+            wnd_ref.at[slot, k],
+            win_sems.at[slot, k],
+        )
+
+    def cm_dma(b, slot):
+        return pltpu.make_async_copy(
+            cmat_ref.at[b], cmbuf_ref.at[slot], cm_sems.at[slot]
+        )
+
+    def vol_dma(b, slot):
+        return pltpu.make_async_copy(
+            vblk_ref.at[slot], vol_ref.at[sel_ref[b]], out_sems.at[slot, 0]
+        )
+
+    def cvol_dma(b, slot):
+        return pltpu.make_async_copy(
+            cblk_ref.at[slot], cvol_ref.at[sel_ref[b]], out_sems.at[slot, 1]
+        )
+
+    @pl.when(count > 0)
+    def _bootstrap():
+        cm_dma(0, 0).start()
+        for k in range(num_k):
+            win_dma(0, 0, k).start()
+
+    def body(b, _):
+        slot = jax.lax.rem(b, 2)
+
+        # prefetch the next brick's windows into the other slot (that slot's
+        # previous windows were consumed in iteration b-1)
+        @pl.when(b + 1 < count)
+        def _prefetch():
+            nslot = jax.lax.rem(b + 1, 2)
+            cm_dma(b + 1, nslot).start()
+            for k in range(num_k):
+                win_dma(b + 1, nslot, k).start()
+
+        # the output buffers for this slot were last DMA'd by brick b-2;
+        # drain that copy before overwriting them
+        @pl.when(b >= 2)
+        def _drain():
+            vol_dma(b - 2, slot).wait()
+            cvol_dma(b - 2, slot).wait()
+
+        cm_dma(b, slot).wait()
+        for k in range(num_k):
+            win_dma(b, slot, k).wait()
+
+        # per-sensor warp: one tiny matmul per brick against the static
+        # quadratic basis — [NB_PAD, K*4]^T @ [NB_PAD, B3] -> rows
+        # (u, v, d, pad) per sensor
+        cm_t = cmbuf_ref[slot]                    # [NB_PAD, K*4]
+        pc_all = jax.lax.dot_general(
+            cm_t, basis_ref[:, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                         # [K*4, B3]
+
+        po_b = [offs_ref[b * num_k + k] for k in range(num_k)]
+
+        for ch in range(CH):
+            # fusion state for this chunk, in registers across sensors
+            wt = jnp.full((HB,), limit, jnp.float32)
+            tw = jnp.zeros((HB,), jnp.float32)
+            tc = jnp.zeros((3, HB), jnp.float32)
+            tcw = jnp.zeros((HB,), jnp.float32)
+            tc2 = jnp.zeros((3, HB), jnp.float32)
+            tcw2 = jnp.zeros((HB,), jnp.float32)
+
+            for k in range(num_k):
+                u = pc_all[4 * k + 0, ch * HB:(ch + 1) * HB]
+                v = pc_all[4 * k + 1, ch * HB:(ch + 1) * HB]
+                d_vox = pc_all[4 * k + 2, ch * HB:(ch + 1) * HB]
+                # analytic frustum gate: outside the (u, v, d) unit box
+                invalid = (
+                    (u < 0.0) | (u > 1.0) | (v < 0.0) | (v > 1.0)
+                    | (d_vox < 0.0) | (d_vox > 1.0)
+                )
+                y_lo = po_b[k] >> 16
+                x_lo = (po_b[k] & 0xFFFF) * XSTRIDE
+                ux_l = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
+                vy_l = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+                ux_n = jnp.clip(jnp.floor(u * w), 0.0, w - 1.0).astype(jnp.int32)
+                vy_n = jnp.clip(jnp.floor(v * h), 0.0, h - 1.0).astype(jnp.int32)
+                ux_l = jnp.clip(ux_l - x_lo.astype(jnp.float32), 0.0, WX - 1.0)
+                vy_l = jnp.clip(vy_l - y_lo.astype(jnp.float32), 0.0, WY - 1.0)
+                ux_n = jnp.clip(ux_n - x_lo, 0, WX - 1)
+                vy_n = jnp.clip(vy_n - y_lo, 0, WY - 1)
+
+                rows_l = _hat2d(vy_l[:, None], WY)        # [HB, WY]
+                rows_n = _onehot2d(vy_n[:, None], WY)
+                cols_l = _hat2d(ux_l[:, None], WX)        # [HB, WX]
+                cols_n = _onehot2d(ux_n[:, None], WX)
+
+                bf16 = jnp.bfloat16
+                rows_l16 = rows_l.astype(bf16)
+                rows_n16 = rows_n.astype(bf16)            # 0/1 — exact in bf16
+                wnd = wnd_ref[slot, k]                    # [6, WY, WX]
+                d = wnd[0]
+                d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
+                d_lo = d - d_hi
+                dd = jnp.concatenate([d_hi, d_lo], axis=1).astype(bf16)
+                nt = jnp.dot(rows_n16, dd, preferred_element_type=jnp.float32)
+                depth = jnp.sum((nt[:, :WX] + nt[:, WX:]) * cols_n, axis=1)
+
+                qrgb = jnp.concatenate(
+                    [wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]], axis=1
+                ).astype(bf16)
+                lin = jnp.dot(rows_l16, qrgb, preferred_element_type=jnp.float32)
+                sil = jnp.sum(lin[:, 0 * WX:1 * WX] * cols_l, axis=1)
+                qual = jnp.sum(lin[:, 1 * WX:2 * WX] * cols_l, axis=1)
+                r_ = jnp.sum(lin[:, 2 * WX:3 * WX] * cols_l, axis=1)
+                g_ = jnp.sum(lin[:, 3 * WX:4 * WX] * cols_l, axis=1)
+                b_ = jnp.sum(lin[:, 4 * WX:5 * WX] * cols_l, axis=1)
+
+                cv = corner_ref[k]
+                depth = jnp.where(invalid, cv[0], depth)
+                qual = jnp.where(invalid, cv[1], qual)
+                sil = jnp.where(invalid, cv[2], sil)
+                r_ = jnp.where(invalid, cv[3], r_)
+                g_ = jnp.where(invalid, cv[4], g_)
+                b_ = jnp.where(invalid, cv[5], b_)
+
+                # TSDF update (tsdf_integration.vs:33-54)
+                sdist = d_vox - depth
+                skip = (sil < SIL_PL) & (wt >= limit)
+                in_front = sdist <= -limit
+                in_band = (sdist > -limit) & (sdist < limit)
+                new_tw = tw + qual
+                accum = jnp.where(
+                    new_tw > 0.0,
+                    (wt * tw + qual * sdist) / jnp.where(new_tw > 0.0, new_tw, 1.0),
+                    wt,
+                )
+                wt_next = jnp.where(in_front, -limit, jnp.where(in_band, accum, wt))
+                tw_next = jnp.where(in_band & (new_tw > 0.0), new_tw, tw)
+                wt = jnp.where(skip, -limit, wt_next)
+                tw = jnp.where(skip, tw, tw_next)
+
+                # color blend terms (tsdf_raymarch.fs:295-320)
+                dist = jnp.abs(depth - d_vox)
+                q_c = jnp.where(dist < limit, qual, 0.0)
+                w_c = q_c / (dist + 0.01)
+                rgb = jnp.stack([r_, g_, b_])
+                tc = tc + rgb * w_c[None, :]
+                tcw = tcw + w_c
+                w2 = 1.0 / jnp.maximum(dist, 1e-9)
+                tc2 = tc2 + rgb * w2[None, :]
+                tcw2 = tcw2 + w2
+
+            # finalize chunk -> output block halves
+            hasq = tcw > 0.0
+            rgb_out = jnp.where(
+                hasq[None, :],
+                tc / jnp.maximum(tcw, 1e-20)[None, :],
+                tc2 / jnp.maximum(tcw2, 1e-20)[None, :],
+            )
+            flag = jnp.where(hasq, 1.0, -1.0)
+            hrows = HB // 128
+            vblk_ref[slot, pl.ds(ch * hrows, hrows), :] = wt.reshape(hrows, 128)
+            cblk_ref[slot, :, pl.ds(ch * hrows, hrows), :] = jnp.concatenate(
+                [rgb_out, flag[None, :]], axis=0
+            ).reshape(4, hrows, 128)
+
+        vol_dma(b, slot).start()
+        cvol_dma(b, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, count, body, 0)
+
+    # drain the last two bricks' output copies
+    @pl.when(count >= 2)
+    def _drain_m2():
+        bb = count - 2
+        s = jax.lax.rem(bb, 2)
+        vol_dma(bb, s).wait()
+        cvol_dma(bb, s).wait()
+
+    @pl.when(count >= 1)
+    def _drain_m1():
+        bb = count - 1
+        s = jax.lax.rem(bb, 2)
+        vol_dma(bb, s).wait()
+        cvol_dma(bb, s).wait()
+
+
+def integrate_affine_pallas(
+    frames,
+    affine: AffineTables,
+    cfg: TsdfConfig,
+    mask16: jnp.ndarray,
+    max_bricks: int = 1024,
+    win_off: jnp.ndarray | None = None,
+    interpret: bool = False,
+    raw: bool = False,
+):
+    """Brick-sparse fused TSDF + color volumes from affine warp coefficients.
+
+    Same contract as tsdf_fast.integrate_sparse / tsdf_pallas
+    .integrate_sparse_pallas: returns (tsdf f32[Vz,Vy,Vx], color
+    f32[Vz,Vy,Vx,4]); unoccupied voxels hold the clear values
+    (recon_integration.cpp:249-250). ``win_off``: cached
+    win_offsets_affine(affine, h, w, WY, WX, XSTRIDE)."""
+    vx, vy, vz = cfg.res
+    nb = (vx // BRICK) * (vy // BRICK) * (vz // BRICK)
+    assert affine.coeffs.shape[1] == nb, (affine.coeffs.shape, cfg.res)
+    packed = pack_frames(frames)                 # [K, H, W, 6]
+    num_k, h, w, _ = packed.shape
+    packed_cf = jnp.transpose(packed, (0, 3, 1, 2))
+    packed_xb = expand_xblocks(packed_cf)        # [K, NXB, 6, H, WX]
+    corner = jnp.pad(packed[:, 0, 0, :], ((0, 0), (0, 2)))  # [K, 8]
+
+    idx_list, valid_list = occupied_list(mask16, max_bricks)
+    count = jnp.sum(valid_list.astype(jnp.int32))[None]     # i32[1]
+    if win_off is None:
+        win_off = win_offsets_affine(affine, h, w, WY, WX, XSTRIDE)
+    offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
+    offs = (offs3[..., 0] << 16 | offs3[..., 1]).reshape(-1)
+
+    # [K, MB, chan, basis] -> [MB, basis, K, chan] -> [MB, NB_PAD, K*4]
+    cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
+    cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
+    cmats = jnp.pad(cmats, ((0, 0), (0, NB_PAD - NBASIS), (0, 0)))
+    basis = jnp.pad(jnp.asarray(_brick_basis()), ((0, NB_PAD - NBASIS), (0, 0)))
+    sel = idx_list.astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # count, sel, offs
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # cmats (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # basis
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # corner
+            pl.BlockSpec(memory_space=pltpu.ANY),    # packed_xb (manual DMA)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, num_k, 6, WY, WX), jnp.float32),
+            pltpu.VMEM((2, NB_PAD, num_k * 4), jnp.float32),
+            pltpu.VMEM((2, 32, 128), jnp.float32),
+            pltpu.VMEM((2, 4, 32, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, num_k)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
+    )
+
+    vol_bm, cvol_bm = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 32, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 4, 32, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(count, sel, offs, cmats, basis, corner, packed_xb)
+
+    # assemble: only occupied blocks were written (the rest is whatever the
+    # output buffer held) — mask to clear values, transpose block-major ->
+    # voxel order
+    visited = jnp.zeros((nb + 1,), jnp.bool_).at[
+        jnp.where(valid_list, idx_list, nb)
+    ].set(True, mode="drop")[:nb]
+    if raw:  # block-major outputs for benchmarking/layout experiments
+        return vol_bm, cvol_bm, visited
+    blocks = jnp.where(visited[:, None], vol_bm.reshape(nb, B3), -cfg.limit)
+    cvol_bm = jnp.where(
+        visited[:, None, None], cvol_bm.reshape(nb, 4, B3), 0.0
+    )
+    nz, ny, nx = vz // BRICK, vy // BRICK, vx // BRICK
+    vol = (
+        blocks.reshape(nz, ny, nx, BRICK, BRICK, BRICK)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(vz, vy, vx)
+    )
+    cvol = (
+        cvol_bm.reshape(nz, ny, nx, 4, BRICK, BRICK, BRICK)
+        .transpose(0, 4, 1, 5, 2, 6, 3)
+        .reshape(vz, vy, vx, 4)
+    )
+    return vol, cvol

@@ -100,20 +100,27 @@ def bake_pixel_warp(rig, height: int, width: int) -> PixelWarp:
     planes to pixel centers. Residuals are the max |cv - (A + dB)| over the
     raw grid — an upper bound for the resized warp (convexity).
     """
-    xyz = np.asarray(rig.cv_xyz, np.float64)  # [K, Dz, Dy, Dx, 3]
-    uv = np.asarray(rig.cv_uv, np.float64)    # [K, Dz, Dy, Dx, 2]
+    # f32 throughout: the fitted values are sensor coordinates in [-3, 3]
+    # checked against 1e-4 tolerances; f64 BLAS is 2-4x slower on the host
+    xyz = np.asarray(rig.cv_xyz, np.float32)  # [K, Dz, Dy, Dx, 3]
+    uv = np.asarray(rig.cv_uv, np.float32)    # [K, Dz, Dy, Dx, 2]
     dz = xyz.shape[1]
-    t = (np.arange(dz, dtype=np.float64) + 0.5) / dz  # texel-center d coords
+    t = ((np.arange(dz, dtype=np.float64) + 0.5) / dz).astype(np.float32)
     tm = t.mean()
     tv = ((t - tm) ** 2).sum()
 
     def fit(vol):
-        # per-column least squares over the d axis
+        # per-column least squares over the d axis (tensordot -> BLAS; the
+        # naive einsum form took minutes at Kinect resolution)
         m = vol.mean(axis=1)                                   # [K, Dy, Dx, C]
-        b = np.einsum("d,kdyxc->kyxc", t - tm, vol) / tv
+        b = np.tensordot(t - tm, vol, axes=(0, 1)) / tv
         a = m - b * tm
-        resid = np.abs(vol - (a[:, None] + t[None, :, None, None, None] * b[:, None]))
-        return a, b, float(resid.max())
+        # residual slab-by-slab: the one-shot broadcast materializes a
+        # ~1.6 GB f64 temporary
+        resid = 0.0
+        for d in range(vol.shape[1]):
+            resid = max(resid, float(np.abs(vol[:, d] - (a + t[d] * b)).max()))
+        return a, b, resid
 
     xyz_a, xyz_b, err_xyz = fit(xyz)
     uv_a, uv_b, err_uv = fit(uv)
@@ -124,8 +131,8 @@ def bake_pixel_warp(rig, height: int, width: int) -> PixelWarp:
     wx = _gl_resize_weights_np(dx_, width)
 
     def resize(p):
-        p = np.einsum("Yy,kyxc->kYxc", wy, p)
-        p = np.einsum("Xx,kYxc->kYXc", wx, p)
+        p = np.einsum("Yy,kyxc->kYxc", wy, p, optimize=True)
+        p = np.einsum("Xx,kYxc->kYXc", wx, p, optimize=True)
         # host numpy on purpose: the bake may run inside a jit trace (lazy
         # per-shape baking) and cached jnp constants would leak tracers
         return p.astype(np.float32)

@@ -82,6 +82,12 @@ class PipelineConfig(NamedTuple):
     # on for TPU backends when bricks are fine enough for its fixed windows
     # (>= 8 bricks per axis)
     use_pallas: bool | None = None
+    # per-brick affine warp coefficients + persistent single-program kernel
+    # (ops/tsdf_affine.py + ops/tsdf_persist.py) instead of the dense baked
+    # warp table + grid kernel. None = auto: on whenever the Pallas path is
+    # on AND the bake residual stays under affine_tol
+    use_affine: bool | None = None
+    affine_tol: float = 0.02   # max |fit - table| (normalized sensor units)
     # one dispatch per frame instead of four (all stages in a single jit);
     # staged mode compiles much faster and recompiles only the renderer on
     # camera-axis changes
@@ -115,9 +121,24 @@ class FramePipeline:
                  log: Callable[[str], None] | None = None,
                  table_cache_dir: str | None = None):
         self.rig = rig
-        self.cfg = cfg
         self.bbox = rig.bbox
         self._log = log or (lambda s: None)
+        self._table_cache_dir = table_cache_dir
+        self._warp = None
+        self._warp_hw = None
+        for t in STAGE_TIMERS:
+            TimerDatabase.instance().add_timer(t)
+        self._configure(cfg)
+
+    def _configure(self, cfg: PipelineConfig,
+                   keep_warp_bake: bool = False) -> None:
+        """(Re)build everything derived from the static config. With
+        ``keep_warp_bake`` the baked voxel->sensor warp (affine coeffs or
+        dense tables) survives — valid only when the volume res and rig are
+        unchanged (retune of tsdf_limit / brick thresholds)."""
+        table_cache_dir = self._table_cache_dir
+        rig = self.rig
+        self.cfg = cfg
         if cfg.tsdf_res is not None:
             self.tsdf_cfg = tsdf_ops.TsdfConfig(cfg.tsdf_res, cfg.tsdf_limit)
         else:
@@ -138,13 +159,35 @@ class FramePipeline:
             and vx % tsdf_fast.BRICK == 0 and vy % tsdf_fast.BRICK == 0
             and vz % tsdf_fast.BRICK == 0
         )
-        if self.use_fast:
-            self._log(f"baking voxel->sensor warp tables at {self.tsdf_cfg.res} ...")
-            self.tables = tsdf_fast.tables_cached(
-                rig, self.tsdf_cfg, cache_dir=table_cache_dir
-            )
-        else:
+        if not keep_warp_bake:
+            self.affine = None
             self.tables = None
+            self._use_affine = False
+        if self.use_fast and not keep_warp_bake:
+            if self._use_pallas() and cfg.use_affine is not False:
+                from ..ops import tsdf_affine
+
+                self._log(
+                    f"baking per-brick affine warp at {self.tsdf_cfg.res} ..."
+                )
+                aff = tsdf_affine.bake_affine(rig, self.tsdf_cfg)
+                err = float(np.max(np.asarray(aff.max_err)))
+                if cfg.use_affine or err <= cfg.affine_tol:
+                    self.affine = aff
+                    self._use_affine = True
+                    self._log(f"  affine residual {err:.2e} (tol {cfg.affine_tol})")
+                else:
+                    self._log(
+                        f"  affine residual {err:.2e} > tol {cfg.affine_tol};"
+                        " falling back to the dense warp table"
+                    )
+            if not self._use_affine:
+                self._log(
+                    f"baking voxel->sensor warp tables at {self.tsdf_cfg.res} ..."
+                )
+                self.tables = tsdf_fast.tables_cached(
+                    rig, self.tsdf_cfg, cache_dir=table_cache_dir
+                )
 
         # Big calibration data (rig volumes, warp images, baked tables) is
         # passed as jit ARGUMENTS, never closed over: closure constants get
@@ -155,10 +198,54 @@ class FramePipeline:
         self._integrate = jax.jit(self._integrate_impl)
         self._render = jax.jit(self._render_impl, static_argnums=(4, 5))
         self._fill = jax.jit(self._fill_impl)
-        self._warp = None
-        self._warp_hw = None
-        for t in STAGE_TIMERS:
-            TimerDatabase.instance().add_timer(t)
+        # bake caches keyed on the current warp data
+        self._win_off_hw = None
+        self._win_off = None
+        self._tables_kernel = None
+
+    def retune(self, voxel_size: float | None = None,
+               brick_size: float | None = None,
+               tsdf_limit: float | None = None,
+               min_voxels_per_brick: int | None = None) -> None:
+        """Mid-run parameter change (≙ ReconIntegration::setVoxelSize /
+        setBrickSize / setTsdfLimit + divideBox, recon_integration.cpp:
+        340-406,462-472, driven from the GUI at kinect_client.cpp:776-783).
+
+        Rebuilds only what the change invalidates:
+        * tsdf_limit / min_voxels_per_brick: jitted stages re-created (the
+          constants are baked into the compiled programs) — the warp bake,
+          pixel warp and brick grid survive.
+        * brick_size: + brick grid rebuild.
+        * voxel_size: + volume res re-derived from the bbox (any tsdf_res
+          override is dropped, like the reference recomputes it) and the
+          voxel->sensor warp re-baked.
+        Recompiles are bounded to the touched stages; unchanged shapes hit
+        XLA's compile cache."""
+        cfg = self.cfg
+        updates = {}
+        if voxel_size is not None:
+            updates["voxel_size"] = float(voxel_size)
+            updates["tsdf_res"] = None
+        if brick_size is not None:
+            updates["brick_size"] = float(brick_size)
+        if tsdf_limit is not None:
+            updates["tsdf_limit"] = float(tsdf_limit)
+        if min_voxels_per_brick is not None:
+            updates["min_voxels_per_brick"] = int(min_voxels_per_brick)
+        if not updates:
+            return
+        new_cfg = cfg._replace(**updates)
+        res_changed = "voxel_size" in updates and (
+            new_cfg.tsdf_res != cfg.tsdf_res or new_cfg.voxel_size != cfg.voxel_size
+        )
+        self._log(f"retune: {updates} (warp rebake: {res_changed})")
+        self._configure(new_cfg, keep_warp_bake=not res_changed)
+
+    def reload(self) -> None:
+        """≙ the 'S' key shader reload (kinect_client.cpp:776-783): rebuild
+        every jitted stage from source (XLA's cache makes unchanged code a
+        cheap no-op recompile)."""
+        self._configure(self.cfg, keep_warp_bake=True)
 
     def _get_warp(self, h: int, w: int):
         """Lazily bake the gather-free PixelWarp for the sensor resolution
@@ -235,12 +322,22 @@ class FramePipeline:
 
     def _integrate_impl(self, frames, mask16, tables, win_off=None,
                         tables_kernel=None):
-        """2integrate (fast path): brick-sparse fused TSDF + color volumes."""
+        """2integrate (fast path): brick-sparse fused TSDF + color volumes.
+        ``tables`` is AffineTables (persistent kernel), or IntegrationTables
+        (grid kernel / XLA path)."""
         cfg = self.cfg
         vx, vy, vz = self.tsdf_cfg.res
         total_bricks = (vx // tsdf_fast.BRICK) * (vy // tsdf_fast.BRICK) * (
             vz // tsdf_fast.BRICK
         )
+        if self._use_affine:
+            from ..ops.tsdf_persist import integrate_affine_pallas
+
+            return integrate_affine_pallas(
+                frames, tables, self.tsdf_cfg, mask16,
+                max_bricks=min(cfg.max_bricks, total_bricks),
+                win_off=win_off,
+            )
         if self._use_pallas():
             from ..ops.tsdf_pallas import integrate_sparse_pallas
 
@@ -257,12 +354,16 @@ class FramePipeline:
             win_off=win_off,
         )
 
+    def _warp_data(self):
+        """The baked warp in whichever form the integrate path consumes."""
+        return self.affine if self._use_affine else self.tables
+
     def _kernel_tables(self):
         """Cached kernel-layout warp table (pure function of the rig).
         Host-side cache — the result is passed as a jit ARGUMENT (a cached
         device array closed over at trace time would be serialized into the
         compile request)."""
-        if not self._use_pallas():
+        if self._use_affine or not self._use_pallas():
             return None
         if getattr(self, "_tables_kernel", None) is None:
             from ..ops.tsdf_pallas import kernel_tables
@@ -276,7 +377,14 @@ class FramePipeline:
         if not self.use_fast:
             return None
         if getattr(self, "_win_off_hw", None) != (h, w):
-            if self._use_pallas():
+            if self._use_affine:
+                from ..ops.tsdf_affine import win_offsets_affine
+                from ..ops.tsdf_pallas import WY, WX, XSTRIDE
+
+                self._win_off = jax.jit(
+                    win_offsets_affine, static_argnums=(1, 2, 3, 4, 5)
+                )(self.affine, h, w, WY, WX, XSTRIDE)
+            elif self._use_pallas():
                 from ..ops.tsdf_pallas import win_offsets_pallas
 
                 self._win_off = jax.jit(
@@ -322,7 +430,7 @@ class FramePipeline:
         if rig is None:
             rig = self.rig
         if tables is None:
-            tables = self.tables
+            tables = self._warp_data()
         frames, mask, vox_mask, mask16, occupied = self._pre_impl(
             depth_m, color, rig, warp
         )
@@ -385,7 +493,7 @@ class FramePipeline:
 
         if self.cfg.fused or not self.use_fast:
             return self._step(
-                depth_m, color, modelview, proj, self.rig, warp, self.tables,
+                depth_m, color, modelview, proj, self.rig, warp, self._warp_data(),
                 axis, flip, win_off, self._kernel_tables(),
             )
 
@@ -393,7 +501,7 @@ class FramePipeline:
             depth_m, color, self.rig, warp
         )
         vol, cvol = self._integrate(
-            frames, mask16, self.tables, win_off, self._kernel_tables()
+            frames, mask16, self._warp_data(), win_off, self._kernel_tables()
         )
         out = self._render(vol, cvol, mask16, (modelview, proj), axis, flip)
         color_out = self._fill(out.color, out.depth) if self.cfg.fill_holes else out.color
@@ -423,7 +531,7 @@ class FramePipeline:
                 out = jax.block_until_ready(
                     self._step(
                         depth_m, color, modelview, proj, self.rig, warp,
-                        self.tables, axis, flip, win_off, self._kernel_tables(),
+                        self._warp_data(), axis, flip, win_off, self._kernel_tables(),
                     )
                 )
             return out
@@ -435,7 +543,7 @@ class FramePipeline:
         with db.scope("2integrate"):
             vol, cvol = jax.block_until_ready(
                 self._integrate(
-                    frames, mask16, self.tables, win_off, self._kernel_tables()
+                    frames, mask16, self._warp_data(), win_off, self._kernel_tables()
                 )
             )
         with db.scope("3recon"):
@@ -472,7 +580,7 @@ class FramePipeline:
             jax.block_until_ready(
                 self._step(
                     depth_m, color, modelview, proj, self.rig, warp,
-                    self.tables, axis, flip, win_off, self._kernel_tables(),
+                    self._warp_data(), axis, flip, win_off, self._kernel_tables(),
                 )
             )
             self._log(f"  fused step: {time.time()-t0:.1f}s")
@@ -486,7 +594,7 @@ class FramePipeline:
         self._log("compiling 2integrate ...")
         vol, cvol = jax.block_until_ready(
             self._integrate(
-                frames, mask16, self.tables, win_off, self._kernel_tables()
+                frames, mask16, self._warp_data(), win_off, self._kernel_tables()
             )
         )
         self._log(f"  2integrate: {time.time()-t0:.1f}s")

@@ -1,0 +1,133 @@
+"""Affine warp coefficients (ops/tsdf_affine) + persistent Pallas kernel
+(ops/tsdf_persist) vs the exact-table XLA oracle."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rgbd_recon_tpu.utils.math import Bbox
+from rgbd_recon_tpu.calibration import synthetic
+from rgbd_recon_tpu.ops import preprocess as pp, bricks as brick_ops, tsdf_fast
+from rgbd_recon_tpu.ops import tsdf_affine
+from rgbd_recon_tpu.ops.tsdf import TsdfConfig
+from rgbd_recon_tpu.ops.tsdf_persist import integrate_affine_pallas
+from rgbd_recon_tpu.ops.warp import bake_pixel_warp
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    bbox = Bbox.default()
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=2, bbox=bbox, fwd_res=(32, 48, 32), inv_res=(48, 48, 48),
+        width=256, height=212,
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    return dict(bbox=bbox, rig=rig, depth=depth, color=color)
+
+
+def test_affine_bake_residual(small_setup):
+    """d_norm is affine in world position for a pinhole rig -> the fit must
+    reproduce it to f32 noise; u, v carry only projective curvature."""
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    aff = tsdf_affine.bake_affine(small_setup["rig"], cfg)
+    err = np.asarray(aff.max_err)
+    assert err[2] < 1e-3, f"d residual {err[2]:.2e}"
+    assert err[0] < 0.03 and err[1] < 0.03, f"uv residual {err[:2]}"
+    assert np.all(np.isfinite(np.asarray(aff.coeffs)))
+
+
+def test_affine_expand_matches_table(small_setup):
+    """expand_affine vs the exact table on clean (non-cliff, non-clamped)
+    voxels of valid bricks."""
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    rig = small_setup["rig"]
+    aff = tsdf_affine.bake_affine(rig, cfg)
+    tables = tsdf_fast.precompute_tables(rig, cfg)
+    exp = tsdf_affine.expand_affine(aff)
+    t = np.asarray(tables.pos_blocked)
+    e = np.asarray(exp.pos_blocked)
+    # restrict to bricks the fit kept (u0 >= 0) and CLEAN voxels: where the
+    # table's trilinear stencil touches a -1 marker the TABLE is the wrong
+    # one (frustum-blend garbage), so it can't serve as reference there
+    kept = np.asarray(aff.coeffs[..., 0, 0] >= 0.0)  # [K, NB]
+    ind = (rig.cv_xyz_inv[..., :1] < 0.0).astype(np.float32)
+    cont = np.stack([
+        np.asarray(tsdf_fast.resize3d_gl(jnp.asarray(ind[k]), (128, 128, 128)))
+        for k in range(ind.shape[0])
+    ])
+    cont_blocked = tsdf_fast._to_blocked(cont)[..., 0] > 1e-6  # [K, NB, B3]
+    # the edge-clamped half-texel shell reads a constant in the table but
+    # extrapolates under the fit — exclude it like the bake does
+    iz = tsdf_affine._interior(rig.cv_xyz_inv.shape[1], 128)
+    iy = tsdf_affine._interior(rig.cv_xyz_inv.shape[2], 128)
+    ix = tsdf_affine._interior(rig.cv_xyz_inv.shape[3], 128)
+    interior = iz[:, None, None] & iy[None, :, None] & ix[None, None, :]
+    interior_blocked = tsdf_fast._to_blocked(
+        interior[None, ..., None].astype(np.float32)
+    )[..., 0] > 0.5                               # [1, NB, B3]
+    valid = (t[..., 0] >= 0) & kept[..., None] & ~cont_blocked & interior_blocked
+    d = np.abs(e - t)[valid]
+    # d: affine-exact for a pinhole rig; u, v: projective curvature only
+    assert np.percentile(d[:, 2], 99.9) < 1e-3
+    assert np.percentile(d[:, 0], 99.9) < 2e-2
+    assert np.percentile(d[:, 1], 99.9) < 2e-2
+
+
+def test_persist_kernel_parity(small_setup):
+    """Persistent kernel (interpret mode) vs integrate_sparse running on the
+    SAME affine warp (expanded + box-gated), isolating kernel correctness
+    from fit accuracy."""
+    bbox = small_setup["bbox"]
+    rig = small_setup["rig"]
+    warp = bake_pixel_warp(rig, 212, 256)
+    frames = pp.preprocess(
+        jnp.asarray(small_setup["depth"]), jnp.asarray(small_setup["color"]),
+        rig, warp=warp,
+    )
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    )
+    aff = tsdf_affine.bake_affine(rig, cfg)
+
+    # oracle: exact-table path on the expanded affine warp with the kernel's
+    # analytic box gate folded in (outside [0,1]^3 -> the -1 marker)
+    exp = tsdf_affine.expand_affine(aff).pos_blocked
+    inside = jnp.all((exp >= 0.0) & (exp <= 1.0), axis=-1)
+    gated = jnp.where(inside[..., None], exp, -1.0)
+    tables = tsdf_fast.IntegrationTables(pos_blocked=gated)
+
+    vol_ref, cvol_ref = tsdf_fast.integrate_sparse(
+        frames, tables, cfg, mask16, max_bricks=128, window=64
+    )
+    vol_pl, cvol_pl = integrate_affine_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True
+    )
+    d = np.abs(np.asarray(vol_ref) - np.asarray(vol_pl))
+    frac_diff = (d > 1e-4).mean()
+    assert frac_diff < 1e-4, f"{frac_diff:.2e} of voxels deviate"
+    occ_ref = (np.asarray(vol_ref) > -cfg.limit + 1e-9).sum()
+    occ_pl = (np.asarray(vol_pl) > -cfg.limit + 1e-9).sum()
+    assert abs(occ_ref - occ_pl) <= max(100, 0.002 * occ_ref)
+    cd = np.abs(np.asarray(cvol_ref) - np.asarray(cvol_pl)).max(axis=-1)
+    assert (cd > 1e-2).mean() < 1e-3
+
+
+def test_persist_kernel_empty_scene(small_setup):
+    """count == 0 (no occupied bricks) must return the clear volumes."""
+    rig = small_setup["rig"]
+    warp = bake_pixel_warp(rig, 212, 256)
+    frames = pp.preprocess(
+        jnp.asarray(small_setup["depth"]), jnp.asarray(small_setup["color"]),
+        rig, warp=warp,
+    )
+    cfg = TsdfConfig((32, 32, 32), 0.01)
+    aff = tsdf_affine.bake_affine(rig, cfg)
+    mask16 = jnp.zeros((2, 2, 2), bool)
+    vol, cvol = integrate_affine_pallas(
+        frames, aff, cfg, mask16, max_bricks=8, interpret=True
+    )
+    assert np.allclose(np.asarray(vol), -cfg.limit)
+    assert np.allclose(np.asarray(cvol), 0.0)
