@@ -97,6 +97,11 @@ def bench_rung(tsdf_n: int, num_sensors: int, rw: int, rh: int, iters: int,
     pipe.warmup(d, c, mv, proj)
     log(f"rung {tsdf_n}: warmup/compile took {time.time()-t0:.1f}s")
 
+    # the remote backend charges a fixed RTT per dispatch: the staged mode
+    # pays it 4x per frame, the fused single-dispatch mode once. Measure
+    # both (VERDICT r2 #2) and report the faster one.
+    modes = os.environ.get("BENCH_MODES", "staged,fused").split(",")
+
     # honest timing on a remote/async backend: (a) thread a device-side
     # dependence between frames so iterations cannot be elided or reordered,
     # (b) drain the queue with a host read of the final output
@@ -120,15 +125,27 @@ def bench_rung(tsdf_n: int, num_sensors: int, rw: int, rh: int, iters: int,
         float(np.asarray(carry))  # drain
         return time.time() - t0
 
-    run_loop(2)  # warm any remaining variants
-    # the drain read carries a noisy fixed RTT; min-over-trials at two loop
-    # lengths cancels it
-    t_one = min(run_loop(1) for _ in range(3))
-    t_full = min(run_loop(iters) for _ in range(2))
-    dt = (t_full - t_one) / (iters - 1)
-    fps = 1.0 / max(dt, 1e-9)
-    log(f"rung {tsdf_n}: steady-state {dt*1e3:.1f} ms/frame = {fps:.2f} fps "
-        f"(total rung time {time.time()-t_rung:.0f}s)")
+    best = None
+    for mode in modes:
+        fused = mode.strip() == "fused"
+        pipe.cfg = pipe.cfg._replace(fused=fused)
+        if fused:
+            t0 = time.time()
+            pipe.warmup(d, c, mv, proj)
+            log(f"rung {tsdf_n}: fused warmup took {time.time()-t0:.1f}s")
+        run_loop(2)  # warm any remaining variants
+        # the drain read carries a noisy fixed RTT; min-over-trials at two
+        # loop lengths cancels it
+        t_one = min(run_loop(1) for _ in range(3))
+        t_full = min(run_loop(iters) for _ in range(2))
+        dt = (t_full - t_one) / (iters - 1)
+        fps = 1.0 / max(dt, 1e-9)
+        log(f"rung {tsdf_n} [{mode}]: steady-state {dt*1e3:.1f} ms/frame = "
+            f"{fps:.2f} fps (total rung time {time.time()-t_rung:.0f}s)")
+        if best is None or fps > best[1]:
+            best = (mode, fps, dt)
+    mode, fps, dt = best
+    log(f"rung {tsdf_n}: best mode {mode} at {fps:.2f} fps")
 
     if timed:
         from rgbd_recon_tpu.utils.timers import TimerDatabase
@@ -143,7 +160,7 @@ def bench_rung(tsdf_n: int, num_sensors: int, rw: int, rh: int, iters: int,
     return {
         "metric": (
             f"fused frames/sec at {tsdf_n}^3 TSDF from {num_sensors} RGBD streams"
-            f" ({rw}x{rh} render, 1 chip)"
+            f" ({rw}x{rh} render, 1 chip, {mode} dispatch)"
         ),
         "value": round(fps, 3),
         "unit": "fps",

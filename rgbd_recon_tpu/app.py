@@ -264,10 +264,10 @@ class KinectClientApp:
             step = self.pipeline.step_timed if timed else self.pipeline.step
             out = step(depth, color, mv, proj)
             return out.color, out, None
+        warp = self.pipeline._get_warp(depth.shape[1], depth.shape[2])
         frames = self._pp.preprocess(
             self._jnp.asarray(depth), self._jnp.asarray(color),
-            self.rig, self.pipeline.pre_cfg,
-            self.pipeline._get_warp(depth.shape[1], depth.shape[2]),
+            self.pipeline._rig_for_step(warp), self.pipeline.pre_cfg, warp,
         )
         from .ops.raymarch import RenderCamera
 
@@ -393,7 +393,7 @@ class KinectClientApp:
             warp = self.pipeline._get_warp(depth.shape[1], depth.shape[2])
             frames = self._pp.preprocess(
                 self._jnp.asarray(depth), self._jnp.asarray(color),
-                self.rig, self.pipeline.pre_cfg, warp,
+                self.pipeline._rig_for_step(warp), self.pipeline.pre_cfg, warp,
             )
             for k in range(depth.shape[0]):
                 pre = os.path.join(self.out_dir, f"frame_{n:05d}_k{k}_")

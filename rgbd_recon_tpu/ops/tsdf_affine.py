@@ -9,16 +9,19 @@ samples it per voxel per frame, tsdf_integration.vs:31): over one 16^3
 brick it is affine to ~1e-4 in normalized sensor units for pinhole-like
 rigs (curvature of the projective map over a ~0.14 m brick at >= 0.5 m).
 
-So per (sensor, brick) we store 12 floats — the least-squares affine fit
+So per (sensor, brick) we store 30 floats — the least-squares QUADRATIC fit
 
-    (u, v, d_norm)(voxel) = C @ [1, z - 7.5, y - 7.5, x - 7.5]
+    (u, v, d_norm)(voxel) = C @ [1, lz, ly, lx, lz2, ly2, lx2, lzly, lzlx, lylx]
 
-over the brick's VALID voxels (the inverse bake marks off-frustum voxels
-(-1,-1,-1), calibration_inverter.cpp:95-98; blending across that cliff
-would poison the fit). The fit is exact LSQ per brick (4x4 normal
-equations, ridge-stabilized), computed on device one brick-z-slab at a
-time so the dense table is never materialized. At 256^3 x 4 sensors the
-result is 1 MB instead of 800 MB and bakes in ~1 s instead of ~1 min.
+(centered local coords) over the brick's CLEAN voxels (the inverse bake
+marks off-frustum voxels (-1,-1,-1), calibration_inverter.cpp:95-98;
+blending across that cliff would poison the fit — see _fit_slab). The fit
+is exact LSQ per brick (10x10 normal equations, ridge-stabilized in a
+normalized basis), computed on device one brick-z-slab at a time so the
+dense table is never materialized. At 256^3 x 4 sensors the result is
+~2.6 MB instead of ~800 MB and bakes in ~9 s instead of minutes; measured
+residual there: u ~1.1e-3, v ~2.0e-3, d ~4e-4 (the floor is the table's
+own piecewise-trilinear kinks, which no smooth basis reproduces).
 
 Deviations vs the exact table (documented):
 * residual: max |fit - table| over valid voxels is measured at bake time

@@ -21,8 +21,8 @@ the whole machinery of the old kernel:
     body instead of spread across grid steps — no scratch round-trips),
   * double-buffered output flush (one 16^3 block + color block per brick).
 
-The voxel->sensor warp comes from per-brick AFFINE COEFFICIENTS
-(ops/tsdf_affine.py) instead of the ~800 MB dense table: 16 floats per
+The voxel->sensor warp comes from per-brick QUADRATIC COEFFICIENTS
+(ops/tsdf_affine.py) instead of the ~800 MB dense table: 30 floats per
 brick x sensor, evaluated in-kernel as one tiny matmul against the static
 local-coordinate basis. This removes the table DMA entirely (the old
 kernel's largest input stream) and the minutes-long bake.
@@ -50,10 +50,11 @@ from .tsdf import TsdfConfig
 from .tsdf_fast import BRICK, occupied_list, pack_frames
 from .tsdf_affine import AffineTables, NBASIS, _brick_basis, win_offsets_affine
 
-NB_PAD = 16   # basis rows padded to a sublane tile
 from .tsdf_pallas import (
-    B3, CH, HB, SIL_PL, WY, WX, XSTRIDE, _hat2d, _onehot2d, expand_xblocks,
+    B3, SIL_PL, WY, WX, XSTRIDE, _hat2d, _onehot2d, expand_xblocks,
 )
+
+NB_PAD = 16   # basis rows padded to a sublane tile
 
 
 def _kernel(
@@ -62,27 +63,28 @@ def _kernel(
     sel_ref,      # i32[MB]   brick index (into NB) per occupied slot
     offs_ref,     # i32[MB*K] packed window origin (y8 << 16 | xblock)
     # inputs
-    cmat_ref,     # HBM f32[MB, NB_PAD, K*4] per-slot warp coeffs,
+    cmat_ref,     # HBM f32[MB, NB_PAD, 128] per-slot warp coeffs,
                   # basis-major (cmat[b, a, 4k+c] = coeff of basis fn a for
-                  # channel c of sensor k — dot-ready without an in-kernel
-                  # reshape, which Mosaic's layout inference rejects);
-                  # DMA'd per brick alongside the windows
+                  # channel c of sensor k), lane dim padded to a full
+                  # 128-lane tile: Mosaic rejects minor-dim slices < 128
+                  # even on HBM memrefs. DMA'd per brick with the windows
     basis_ref,    # VMEM f32[NB_PAD, B3] quadratic local-coordinate basis
     corner_ref,   # VMEM f32[K, 8]    image corner values (GL clamp target)
     packed_ref,   # HBM  f32[K, NXB, 6, H, WX] overlapping x-blocks
     # outputs
     vol_ref,      # HBM f32[NB, 32, 128]      TSDF blocks (block-major)
-    cvol_ref,     # HBM f32[NB, 4, 32, 128]   color blocks
+    cvol_ref,     # HBM bf16[NB, 4, 32, 128]  color blocks
     # scratch
     wnd_ref,      # VMEM f32[2, K, 6, WY, WX]
-    cmbuf_ref,    # VMEM f32[2, NB_PAD, K*4]
+    cmbuf_ref,    # VMEM f32[2, NB_PAD, 128]
     vblk_ref,     # VMEM f32[2, 32, 128]
-    cblk_ref,     # VMEM f32[2, 4, 32, 128]
+    cblk_ref,     # VMEM bf16[2, 4, 32, 128]
     win_sems,     # DMA (2, K)
     cm_sems,      # DMA (2,)
     out_sems,     # DMA (2, 2)
-    *, num_k: int, h: int, w: int, limit: float,
+    *, num_k: int, h: int, w: int, limit: float, chunks: int,
 ):
+    HB = B3 // chunks
     count = count_ref[0]
 
     def win_dma(b, slot, k):
@@ -137,19 +139,23 @@ def _kernel(
         for k in range(num_k):
             win_dma(b, slot, k).wait()
 
-        # per-sensor warp: one tiny matmul per brick against the static
-        # quadratic basis — [NB_PAD, K*4]^T @ [NB_PAD, B3] -> rows
-        # (u, v, d, pad) per sensor
-        cm_t = cmbuf_ref[slot]                    # [NB_PAD, K*4]
-        pc_all = jax.lax.dot_general(
-            cm_t, basis_ref[:, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                         # [K*4, B3]
-
         po_b = [offs_ref[b * num_k + k] for k in range(num_k)]
 
-        for ch in range(CH):
+        for ch in range(chunks):
+            # per-sensor warp: one tiny matmul per chunk against the static
+            # quadratic basis — [NB_PAD, K*4]^T @ [NB_PAD, HB] -> rows
+            # (u, v, d, pad) per sensor. The lhs is sliced to its real
+            # columns BEFORE the dot: the 128-lane DMA padding would make
+            # the HIGHEST multi-pass f32 product 8x wider (~25 us/brick of
+            # pure combining). Mosaic supports only DEFAULT/HIGHEST here;
+            # DEFAULT's single bf16 pass is too lossy for d_norm.
+            cm_t = cmbuf_ref[slot][:, : num_k * 4]   # [NB_PAD, K*4]
+            pc_all = jax.lax.dot_general(
+                cm_t, basis_ref[:, ch * HB:(ch + 1) * HB],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                     # [K*4, HB]
             # fusion state for this chunk, in registers across sensors
             wt = jnp.full((HB,), limit, jnp.float32)
             tw = jnp.zeros((HB,), jnp.float32)
@@ -159,9 +165,9 @@ def _kernel(
             tcw2 = jnp.zeros((HB,), jnp.float32)
 
             for k in range(num_k):
-                u = pc_all[4 * k + 0, ch * HB:(ch + 1) * HB]
-                v = pc_all[4 * k + 1, ch * HB:(ch + 1) * HB]
-                d_vox = pc_all[4 * k + 2, ch * HB:(ch + 1) * HB]
+                u = pc_all[4 * k + 0]
+                v = pc_all[4 * k + 1]
+                d_vox = pc_all[4 * k + 2]
                 # analytic frustum gate: outside the (u, v, d) unit box
                 invalid = (
                     (u < 0.0) | (u > 1.0) | (v < 0.0) | (v > 1.0)
@@ -183,26 +189,37 @@ def _kernel(
                 cols_l = _hat2d(ux_l[:, None], WX)        # [HB, WX]
                 cols_n = _onehot2d(ux_n[:, None], WX)
 
+                # COLS-FIRST contraction: contracting x on the MXU puts the
+                # full 128-lane window width on the systolic array's K dim
+                # (the rows-first form had K=WY=48 — 37% utilization — and
+                # left the larger [HB, WX] axis to VPU lane-reductions;
+                # measured 32+21 us/brick, ~2.5x this form). The exactness
+                # split moves with it: depth contracts its one-hot against
+                # the hi/lo-split depth planes (bf16-exact products, <=1
+                # nonzero per row), LINEAR channels carry the bf16 hat
+                # rounding on the x hat like the old form did (SIL_PL gate).
                 bf16 = jnp.bfloat16
-                rows_l16 = rows_l.astype(bf16)
-                rows_n16 = rows_n.astype(bf16)            # 0/1 — exact in bf16
                 wnd = wnd_ref[slot, k]                    # [6, WY, WX]
                 d = wnd[0]
                 d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
                 d_lo = d - d_hi
-                dd = jnp.concatenate([d_hi, d_lo], axis=1).astype(bf16)
-                nt = jnp.dot(rows_n16, dd, preferred_element_type=jnp.float32)
-                depth = jnp.sum((nt[:, :WX] + nt[:, WX:]) * cols_n, axis=1)
-
-                qrgb = jnp.concatenate(
-                    [wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]], axis=1
-                ).astype(bf16)
-                lin = jnp.dot(rows_l16, qrgb, preferred_element_type=jnp.float32)
-                sil = jnp.sum(lin[:, 0 * WX:1 * WX] * cols_l, axis=1)
-                qual = jnp.sum(lin[:, 1 * WX:2 * WX] * cols_l, axis=1)
-                r_ = jnp.sum(lin[:, 2 * WX:3 * WX] * cols_l, axis=1)
-                g_ = jnp.sum(lin[:, 3 * WX:4 * WX] * cols_l, axis=1)
-                b_ = jnp.sum(lin[:, 4 * WX:5 * WX] * cols_l, axis=1)
+                stack = jnp.concatenate(
+                    [d_hi, d_lo, wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]],
+                    axis=0,
+                )                                         # [7*WY, WX]
+                wnd_t = stack.astype(bf16).T              # [WX, 7*WY]
+                t_n = jnp.dot(cols_n.astype(bf16), wnd_t[:, : 2 * WY],
+                              preferred_element_type=jnp.float32)
+                t_l = jnp.dot(cols_l.astype(bf16), wnd_t[:, 2 * WY:],
+                              preferred_element_type=jnp.float32)
+                depth = jnp.sum(
+                    (t_n[:, :WY] + t_n[:, WY:]) * rows_n, axis=1
+                )
+                sil = jnp.sum(t_l[:, 0 * WY:1 * WY] * rows_l, axis=1)
+                qual = jnp.sum(t_l[:, 1 * WY:2 * WY] * rows_l, axis=1)
+                r_ = jnp.sum(t_l[:, 2 * WY:3 * WY] * rows_l, axis=1)
+                g_ = jnp.sum(t_l[:, 3 * WY:4 * WY] * rows_l, axis=1)
+                b_ = jnp.sum(t_l[:, 4 * WY:5 * WY] * rows_l, axis=1)
 
                 cv = corner_ref[k]
                 depth = jnp.where(invalid, cv[0], depth)
@@ -251,7 +268,7 @@ def _kernel(
             vblk_ref[slot, pl.ds(ch * hrows, hrows), :] = wt.reshape(hrows, 128)
             cblk_ref[slot, :, pl.ds(ch * hrows, hrows), :] = jnp.concatenate(
                 [rgb_out, flag[None, :]], axis=0
-            ).reshape(4, hrows, 128)
+            ).reshape(4, hrows, 128).astype(jnp.bfloat16)
 
         vol_dma(b, slot).start()
         cvol_dma(b, slot).start()
@@ -284,12 +301,16 @@ def integrate_affine_pallas(
     win_off: jnp.ndarray | None = None,
     interpret: bool = False,
     raw: bool = False,
+    chunks: int = 1,
 ):
     """Brick-sparse fused TSDF + color volumes from affine warp coefficients.
 
     Same contract as tsdf_fast.integrate_sparse / tsdf_pallas
-    .integrate_sparse_pallas: returns (tsdf f32[Vz,Vy,Vx], color
-    f32[Vz,Vy,Vx,4]); unoccupied voxels hold the clear values
+    .integrate_sparse_pallas except the color volume dtype: returns
+    (tsdf f32[Vz,Vy,Vx], color BF16[Vz,Vy,Vx,4] — 8-bit-source colors and
+    the ±1 flag are exact, and the volume is the pipeline's biggest HBM
+    stream: bf16 halves the assembly + render traffic); unoccupied voxels
+    hold the clear values
     (recon_integration.cpp:249-250). ``win_off``: cached
     win_offsets_affine(affine, h, w, WY, WX, XSTRIDE)."""
     vx, vy, vz = cfg.res
@@ -308,10 +329,12 @@ def integrate_affine_pallas(
     offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
     offs = (offs3[..., 0] << 16 | offs3[..., 1]).reshape(-1)
 
-    # [K, MB, chan, basis] -> [MB, basis, K, chan] -> [MB, NB_PAD, K*4]
+    # [K, MB, chan, basis] -> [MB, basis, K, chan] -> [MB, NB_PAD, 128]
     cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
     cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
-    cmats = jnp.pad(cmats, ((0, 0), (0, NB_PAD - NBASIS), (0, 0)))
+    cmats = jnp.pad(
+        cmats, ((0, 0), (0, NB_PAD - NBASIS), (0, 128 - num_k * 4))
+    )
     basis = jnp.pad(jnp.asarray(_brick_basis()), ((0, NB_PAD - NBASIS), (0, 0)))
     sel = idx_list.astype(jnp.int32)
 
@@ -319,7 +342,10 @@ def integrate_affine_pallas(
         num_scalar_prefetch=3,   # count, sel, offs
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # cmats (manual DMA)
+            # cmats must be pinned to HBM: under ANY the compiler puts this
+            # small array in VMEM, where .at[b] would need a 128-aligned
+            # lane slice of the padded tile
+            pl.BlockSpec(memory_space=pltpu.HBM),    # cmats (manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # basis
             pl.BlockSpec(memory_space=pltpu.VMEM),   # corner
             pl.BlockSpec(memory_space=pltpu.ANY),    # packed_xb (manual DMA)
@@ -330,9 +356,9 @@ def integrate_affine_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, num_k, 6, WY, WX), jnp.float32),
-            pltpu.VMEM((2, NB_PAD, num_k * 4), jnp.float32),
+            pltpu.VMEM((2, NB_PAD, 128), jnp.float32),
             pltpu.VMEM((2, 32, 128), jnp.float32),
-            pltpu.VMEM((2, 4, 32, 128), jnp.float32),
+            pltpu.VMEM((2, 4, 32, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, num_k)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -341,6 +367,7 @@ def integrate_affine_pallas(
 
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
+        chunks=chunks,
     )
 
     vol_bm, cvol_bm = pl.pallas_call(
@@ -348,8 +375,11 @@ def integrate_affine_pallas(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, 32, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 4, 32, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 4, 32, 128), jnp.bfloat16),
         ],
+        # the unrolled sensor/chunk bodies peak ~18 MB of stack; v5e has
+        # 128 MB of physical VMEM — raise the conservative 16 MB default
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
         interpret=interpret,
     )(count, sel, offs, cmats, basis, corner, packed_xb)
 
@@ -363,7 +393,8 @@ def integrate_affine_pallas(
         return vol_bm, cvol_bm, visited
     blocks = jnp.where(visited[:, None], vol_bm.reshape(nb, B3), -cfg.limit)
     cvol_bm = jnp.where(
-        visited[:, None, None], cvol_bm.reshape(nb, 4, B3), 0.0
+        visited[:, None, None], cvol_bm.reshape(nb, 4, B3),
+        jnp.bfloat16(0.0),
     )
     nz, ny, nx = vz // BRICK, vy // BRICK, vx // BRICK
     vol = (

@@ -57,7 +57,7 @@ class ReplayDriver:
         return self._step(
             jnp.asarray(depth_b), jnp.asarray(color_b),
             jnp.asarray(modelview), jnp.asarray(proj),
-            self.pipe.rig, warp, self.pipe.tables,
+            self.pipe.rig, warp, self.pipe._warp_data(),
         )
 
     def run(self, readers: Sequence, modelview, proj, num_frames: int | None = None):

@@ -275,6 +275,25 @@ class FramePipeline:
             self._warp_hw = (h, w)
         return self._warp
 
+    def _rig_for_step(self, warp):
+        """The rig pytree handed to the jitted stages. With the pixel warp
+        active on the fast path, the stages touch only depth_limits / bbox /
+        camera_positions — swap the cv volumes for 1-texel dummies so the
+        jit call doesn't ship ~434 MB of unused arguments to the device
+        (minutes through a remote tunnel, and HBM residency besides)."""
+        if warp is None or not self.use_fast:
+            return self.rig
+        if getattr(self, "_slim_rig", None) is None:
+            import jax.numpy as jnp
+
+            k = self.rig.num_sensors
+            self._slim_rig = self.rig._replace(
+                cv_xyz=jnp.zeros((k, 1, 1, 1, 3), jnp.float32),
+                cv_uv=jnp.zeros((k, 1, 1, 1, 2), jnp.float32),
+                cv_xyz_inv=jnp.zeros((k, 1, 1, 1, 3), jnp.float32),
+            )
+        return self._slim_rig
+
     def _sweep_res(self) -> tuple[int, int]:
         if self.cfg.sweep_res is not None:
             return self.cfg.sweep_res
@@ -296,9 +315,16 @@ class FramePipeline:
         mask16 = None
         occupied = jnp.float32(1.0)
         if cfg.use_bricks:
-            counts = brick_ops.mark_bricks(
-                frames.world, frames.world_valid, self.brick_grid
-            )
+            if self._use_pallas():
+                from ..ops.bricks_pallas import mark_bricks_pallas
+
+                counts = mark_bricks_pallas(
+                    frames.world, frames.world_valid, self.brick_grid
+                )
+            else:
+                counts = brick_ops.mark_bricks(
+                    frames.world, frames.world_valid, self.brick_grid
+                )
             mask = brick_ops.occupancy_mask(counts, cfg.min_voxels_per_brick)
             occupied = brick_ops.occupied_ratio(mask)
             if self.use_fast:
@@ -493,12 +519,12 @@ class FramePipeline:
 
         if self.cfg.fused or not self.use_fast:
             return self._step(
-                depth_m, color, modelview, proj, self.rig, warp, self._warp_data(),
+                depth_m, color, modelview, proj, self._rig_for_step(warp), warp, self._warp_data(),
                 axis, flip, win_off, self._kernel_tables(),
             )
 
         frames, mask, vox_mask, mask16, occupied = self._pre(
-            depth_m, color, self.rig, warp
+            depth_m, color, self._rig_for_step(warp), warp
         )
         vol, cvol = self._integrate(
             frames, mask16, self._warp_data(), win_off, self._kernel_tables()
@@ -530,7 +556,8 @@ class FramePipeline:
             with db.scope("3recon"):
                 out = jax.block_until_ready(
                     self._step(
-                        depth_m, color, modelview, proj, self.rig, warp,
+                        depth_m, color, modelview, proj,
+                        self._rig_for_step(warp), warp,
                         self._warp_data(), axis, flip, win_off, self._kernel_tables(),
                     )
                 )
@@ -538,7 +565,7 @@ class FramePipeline:
 
         with db.scope("1preprocess"):
             frames, mask, vox_mask, mask16, occupied = jax.block_until_ready(
-                self._pre(depth_m, color, self.rig, warp)
+                self._pre(depth_m, color, self._rig_for_step(warp), warp)
             )
         with db.scope("2integrate"):
             vol, cvol = jax.block_until_ready(
@@ -579,7 +606,8 @@ class FramePipeline:
             self._log("compiling fused frame step ...")
             jax.block_until_ready(
                 self._step(
-                    depth_m, color, modelview, proj, self.rig, warp,
+                    depth_m, color, modelview, proj,
+                    self._rig_for_step(warp), warp,
                     self._warp_data(), axis, flip, win_off, self._kernel_tables(),
                 )
             )
@@ -587,7 +615,9 @@ class FramePipeline:
             return
         t0 = time.time()
         self._log("compiling 1preprocess ...")
-        pre = jax.block_until_ready(self._pre(depth_m, color, self.rig, warp))
+        pre = jax.block_until_ready(
+            self._pre(depth_m, color, self._rig_for_step(warp), warp)
+        )
         self._log(f"  1preprocess: {time.time()-t0:.1f}s")
         frames, mask, vox_mask, mask16, occupied = pre
         t0 = time.time()

@@ -119,7 +119,12 @@ def main():
 
     # --- bricks
     jmark = jax.jit(lambda w_, v_: brick_ops.mark_bricks(w_, v_, pipe.brick_grid))
-    counts = timeit("mark_bricks", jmark, [(world, world_valid)], iters)
+    counts = timeit("mark_bricks(scatter)", jmark, [(world, world_valid)], iters)
+    if jax.default_backend() == "tpu":
+        from rgbd_recon_tpu.ops.bricks_pallas import mark_bricks_pallas
+
+        jmark2 = jax.jit(lambda w_, v_: mark_bricks_pallas(w_, v_, pipe.brick_grid))
+        counts = timeit("mark_bricks(pallas)", jmark2, [(world, world_valid)], iters)
     jmask = jax.jit(lambda c_: brick_ops.occupancy_mask(c_, 10))
     mask = timeit("occupancy_mask", jmask, [(counts,)], iters)
     jvox = jax.jit(lambda m_: brick_ops.voxel_occupancy(m_, pipe.brick_grid, pipe.tsdf_cfg.res))
@@ -128,16 +133,23 @@ def main():
     mask16 = timeit("brick16_mask", j16, [(vox,)], iters)
 
     # --- integrate
-    jint = jax.jit(lambda f_, m_, t_: tsdf_fast.integrate_sparse(
-        f_, t_, pipe.tsdf_cfg, m_, max_bricks=min(1024, (tsdf_n // 16) ** 3),
-        window=pipe.cfg.sample_window))
-    intout = timeit("integrate_sparse(xla)", jint, [(frames, mask16, pipe.tables)], iters)
-    if jax.default_backend() == "tpu" and tsdf_n >= 128:
-        from rgbd_recon_tpu.ops.tsdf_pallas import integrate_sparse_pallas
+    max_bricks = min(1024, (tsdf_n // 16) ** 3)
+    if pipe._use_affine:
+        from rgbd_recon_tpu.ops.tsdf_persist import integrate_affine_pallas
 
-        jintp = jax.jit(lambda f_, m_, t_: integrate_sparse_pallas(
-            f_, t_, pipe.tsdf_cfg, m_, max_bricks=min(1024, (tsdf_n // 16) ** 3)))
-        intout = timeit("integrate_sparse(pallas)", jintp, [(frames, mask16, pipe.tables)], iters)
+        jint = jax.jit(lambda f_, m_, a_: integrate_affine_pallas(
+            f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks))
+        intout = timeit("integrate(persistent)", jint,
+                        [(frames, mask16, pipe.affine)], iters)
+        jraw = jax.jit(lambda f_, m_, a_: integrate_affine_pallas(
+            f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks, raw=True))
+        timeit("integrate(kernel only)", jraw, [(frames, mask16, pipe.affine)], iters)
+    else:
+        jint = jax.jit(lambda f_, m_, t_: tsdf_fast.integrate_sparse(
+            f_, t_, pipe.tsdf_cfg, m_, max_bricks=max_bricks,
+            window=pipe.cfg.sample_window))
+        intout = timeit("integrate_sparse(xla)", jint,
+                        [(frames, mask16, pipe.tables)], iters)
     vol, cvol = intout
 
     # --- render
@@ -160,6 +172,23 @@ def main():
     pyr = timeit("build_pyramid", jpyr, [(out.color, out.depth)], iters)
     jcf = jax.jit(lambda pc, pd: inpaint.colorfill(pc, pd))
     timeit("colorfill", jcf, [(pyr[0], pyr[1])], iters)
+
+    # --- device trace capture (SURVEY §5.1's jax.profiler equivalent of the
+    # reference's GPU timestamp queries). PROF_TRACE=<dir> writes a trace
+    # artifact viewable with tensorboard/xprof; may be unsupported on
+    # remote-tunnel backends, hence the guard.
+    trace_dir = os.environ.get("PROF_TRACE", "")
+    if trace_dir:
+        try:
+            with jax.profiler.trace(trace_dir):
+                o = jpre(ds[0], cs[0])
+                o2 = jint(frames, mask16,
+                          pipe.affine if pipe._use_affine else pipe.tables)
+                o3 = jr(o2[0], o2[1], occ)
+                jax.block_until_ready((o, o2, o3))
+            print(f"wrote jax.profiler trace to {trace_dir}")
+        except Exception as e:  # remote backends may lack profiling support
+            print(f"trace capture unavailable on this backend: {e}")
 
 
 if __name__ == "__main__":

@@ -52,7 +52,9 @@ def test_retune_voxel_size_rebuilds_volume(pipe_inputs):
     res = pipe.tsdf_cfg.res
     # res re-derived from bbox/voxel like the reference's setVoxelSize
     assert res != (48, 48, 48)
-    assert tuple(int(np.ceil(s / 0.1)) for s in rig.bbox.size) == res
+    from rgbd_recon_tpu.ops.tsdf import TsdfConfig
+
+    assert TsdfConfig.from_voxel_size(rig.bbox, 0.1, 0.02).res == res
     if pipe.use_fast:
         assert pipe.tables is not tables_before  # warp re-baked
     out2 = pipe.step(depth, color, mv, proj)

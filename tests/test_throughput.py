@@ -1,0 +1,131 @@
+"""Multi-device THROUGHPUT (not just correctness): batch-DP replay must
+scale, and the 2-process loopback DCN path must execute (VERDICT r2 #6,
+SURVEY §5.8)."""
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import jax
+import pytest
+
+from rgbd_recon_tpu.parallel.sharding import make_mesh
+from rgbd_recon_tpu.parallel.replay import ReplayDriver
+
+
+def _small_pipe(num_sensors=2, tsdf=(32, 32, 32)):
+    from rgbd_recon_tpu.utils.math import Bbox
+    from rgbd_recon_tpu.calibration import synthetic
+    from rgbd_recon_tpu.runtime.pipeline import FramePipeline, PipelineConfig
+
+    bbox = Bbox.default()
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=num_sensors, bbox=bbox, fwd_res=(32, 48, 32),
+        inv_res=(32, 32, 32), width=128, height=104,
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    pipe = FramePipeline(
+        rig,
+        PipelineConfig(
+            render_width=96, render_height=64, tsdf_res=tsdf,
+            voxel_size=float(np.max(bbox.size) / tsdf[0]),
+            brick_size=0.2, num_lods=4, fast_path=True,
+        ),
+    )
+    mv, proj = pipe.default_camera()
+    return pipe, depth, color, mv, proj
+
+
+def _time_steps(drv, depth_b, color_b, mv, proj, iters=6):
+    drv.step(depth_b, color_b, mv, proj)  # compile
+    best = np.inf
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = drv.step(depth_b + 1e-8, color_b, mv, proj)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def test_replay_batch_dp_throughput():
+    """Batch-DP scaling evidence. The virtual 8-device CPU mesh SERIALIZES
+    device programs on one socket (measured: 8 sharded 2048^3 matmuls take
+    exactly 8x one — there is no wall-clock parallelism to observe here),
+    so the linear-scaling claim is established structurally instead:
+
+      1. the compiled DP step contains ZERO cross-device collectives —
+         each device's shard program is independent, so on real chips the
+         step time is the per-shard time (linear aggregate throughput);
+      2. per-device shards are exactly 1/n of the batch;
+      3. the 8-way step costs no more than the serialized sum of its
+         shards (+10% tolerance) — sharding adds no hidden overhead.
+    """
+    pipe, depth, color, mv, proj = _small_pipe()
+    drv1 = ReplayDriver(pipe, make_mesh(1))
+    drv8 = ReplayDriver(pipe, make_mesh(8))
+
+    d8, c8 = np.stack([depth] * 8), np.stack([color] * 8)
+    import jax.numpy as jnp
+
+    warp = pipe._get_warp(depth.shape[1], depth.shape[2])
+    lowered = drv8._step.lower(
+        jnp.asarray(d8), jnp.asarray(c8), jnp.asarray(mv), jnp.asarray(proj),
+        pipe.rig, warp, pipe._warp_data(),
+    )
+    hlo = lowered.compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "reduce-scatter", "all-to-all"):
+        assert coll not in hlo, f"unexpected {coll} in pure-DP step"
+
+    out = drv8.step(d8, c8, mv, proj)
+    shard_batches = {s.data.shape[0] for s in out.color.addressable_shards}
+    assert shard_batches == {1}
+
+    d1, c1 = np.stack([depth]), np.stack([color])
+    t1 = _time_steps(drv1, d1, c1, mv, proj)
+    t8 = _time_steps(drv8, d8, c8, mv, proj)
+    print(f"step time B=1/1dev: {t1*1e3:.0f} ms, B=8/8dev: {t8*1e3:.0f} ms "
+          f"(serialized virtual devices; ratio {t8 / t1:.2f} <= 8.8)")
+    assert t8 <= 8.8 * t1, (t1, t8)
+
+
+@pytest.mark.timeout(600)
+def test_two_process_loopback_dcn():
+    """partition_sequences + a global-mesh DP step across 2 REAL processes
+    over loopback gRPC (the DCN stand-in)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "multihost_replay.py",
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the script sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(port), str(pid), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"pid {pid} failed:\n{out[-3000:]}"
+        assert f"MULTIHOST OK pid={pid} devices=8 local=4" in out, out[-2000:]
+    # both processes agree on the global reduction
+    cov = [line.split("coverage=")[1].split()[0]
+           for out in outs for line in out.splitlines() if "coverage=" in line]
+    assert len(cov) == 2 and cov[0] == cov[1]
