@@ -18,6 +18,7 @@ keys on color.a <= 0, tsdf_inpaint.fs:48).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .warp import resize2d_gl
@@ -89,15 +90,169 @@ def inpaint_downsample(color: jnp.ndarray, depth: jnp.ndarray):
     return c_out, d_out
 
 
-def build_pyramid(color: jnp.ndarray, depth: jnp.ndarray, num_lods: int):
+def _band4(h2: int, hp: int) -> jnp.ndarray:
+    """bf16[h2, hp]: row i selects padded tap rows {2i .. 2i+3} (the [-1..2]
+    window around the 2x2 child in padded coords)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (h2, hp), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (h2, hp), 1)
+    return ((r >= 2 * i) & (r <= 2 * i + 3)).astype(jnp.bfloat16)
+
+
+def _band2(h2: int, hp: int, d: int) -> jnp.ndarray:
+    """bf16[h2, hp]: row i selects padded tap rows {2i+2d, 2i+2d+1} — the
+    d-quadrant half of the 4-row window."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (h2, hp), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (h2, hp), 1)
+    return ((r >= 2 * i + 2 * d) & (r <= 2 * i + 2 * d + 1)).astype(jnp.bfloat16)
+
+
+def _pick(h2: int, hp: int) -> jnp.ndarray:
+    """bf16[h2, hp]: row i selects padded row 2i+1 (the window center —
+    depth[2i, 2j] of the unpadded image)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (h2, hp), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (h2, hp), 1)
+    return (r == 2 * i + 1).astype(jnp.bfloat16)
+
+
+def _wsum(wr, wc, planes, precise=()):
+    """Window-reduce [hp, wp, Q] with row/col weight matrices (MXU).
+
+    Stage 1 runs bf16: the weights are 0/1 and every plane is either an
+    integer count, an 8-bit color, or an 8-bit hi/lo depth part — all
+    bf16-exact — with f32 accumulation. Stage 2's input is the f32 row
+    sums; casting THOSE to bf16 silently re-rounds the hi/lo split (a
+    4-tap d_hi sum needs 10 bits), so the planes listed in ``precise``
+    (depth parts) contract in full f32 (HIGHEST) instead; counts stay
+    exact in bf16 (integers <= 256) and colors keep their ~2^-9."""
+    t = jnp.einsum("Ir,rcq->Icq", wr, planes.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    q = planes.shape[-1]
+    fast = [i for i in range(q) if i not in precise]
+    out = [None] * q
+    if fast:
+        of = jnp.einsum("Jc,Icq->IJq", wc, t[..., fast].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        for n, i in enumerate(fast):
+            out[i] = of[..., n]
+    if precise:
+        op = jnp.einsum("Jc,Icq->IJq", wc.astype(jnp.float32),
+                        t[..., list(precise)],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        for n, i in enumerate(precise):
+            out[i] = op[..., n]
+    return jnp.stack(out, axis=-1)
+
+
+def inpaint_downsample_mm(color: jnp.ndarray, depth: jnp.ndarray):
+    """``inpaint_downsample`` re-expressed as banded window matmuls.
+
+    Identical semantics; the 16-tap parity-plane formulation deinterleaves
+    lanes (measured 14 ms for ONE 720p level on the TPU — ~5 GB/s
+    effective — and minutes of XLA compile). Here every tap aggregation is
+    a 4-banded (or 2-banded quadrant) matmul on the MXU:
+
+      pass 1: cnt / depth-sum over non-hole taps -> the window's depth_av.
+      pass 2: the keep-test ``d >= depth_av`` couples each tap to its
+        window's average, but a tap row r belongs to window floor(r/2)-d
+        within quadrant d — so FOUR shifted nearest-upsamplings of
+        depth_av give each (tap, quadrant) its window average, and the
+        keep-masked sums become four 2x2-quadrant banded matmuls.
+
+    Exactness: weights/indicators are 0/1 (bf16-exact); depth goes through
+    an 8-bit hi/lo split (error ~2^-16); color carries bf16's ~2^-9 —
+    inside the 8-bit source quantization.
+    """
+    h, w = depth.shape
+    h2, w2 = h // 2, w // 2
+    py = 3 - (h & 1)
+    px = 3 - (w & 1)
+    cpad = jnp.pad(color, ((1, py), (1, px), (0, 0)), mode="edge")
+    dpad = jnp.pad(depth, ((1, py), (1, px)), mode="edge")
+    hp, wp = dpad.shape
+
+    nh = (cpad[..., 3] > 0.0).astype(jnp.float32)
+    d_hi = jnp.floor(dpad * 256.0) * (1.0 / 256.0)
+    d_lo = dpad - d_hi
+
+    wr4 = _band4(h2, hp)
+    wc4 = _band4(w2, wp)
+    s1 = _wsum(wr4, wc4, jnp.stack([nh, nh * d_hi, nh * d_lo], axis=-1),
+               precise=(1, 2))
+    cnt = s1[..., 0]
+    depth_av = (s1[..., 1] + s1[..., 2]) / jnp.maximum(cnt, 1.0)
+
+    # per-quadrant window average at tap resolution: tap row r in quadrant
+    # d belongs to window floor(r/2) - d -> repeat + shift (taps that fall
+    # outside any window of a quadrant carry zero weight in its banded
+    # matmul, so their clamped average value is irrelevant)
+    hp2, wp2 = 2 * h2, 2 * w2
+    avg_pad = jnp.pad(
+        jnp.repeat(jnp.repeat(depth_av, 2, axis=0), 2, axis=1),
+        ((2, hp - hp2), (2, wp - wp2)), mode="edge",
+    )   # avg_pad[x] = depth_av[clip(floor((x - 2) / 2))]
+
+    acc = 0.0
+    for dy in (0, 1):
+        wr2 = _band2(h2, hp, dy)
+        for dx in (0, 1):
+            wc2 = _band2(w2, wp, dx)
+            # window avg seen by taps of this quadrant: tap row r belongs
+            # to window floor(r/2) - dy (clamped into range at the edges —
+            # out-of-range taps carry zero banded weight anyway)
+            avg_q = avg_pad[2 - 2 * dy: 2 - 2 * dy + hp,
+                            2 - 2 * dx: 2 - 2 * dx + wp]
+            keep = (nh > 0.0) & (dpad >= avg_q)
+            kf = keep.astype(jnp.float32)
+            planes = jnp.concatenate(
+                [
+                    kf[..., None], (kf * d_hi)[..., None],
+                    (kf * d_lo)[..., None],
+                    kf[..., None] * cpad[..., :3],
+                ],
+                axis=-1,
+            )   # [hp, wp, 6]
+            acc = acc + _wsum(wr2, wc2, planes, precise=(1, 2))
+
+    wsum = acc[..., 0]
+    d_out = (acc[..., 1] + acc[..., 2]) / jnp.maximum(wsum, 1.0)
+    rgb = acc[..., 3:6] / jnp.maximum(wsum, 1.0)[..., None]
+    c_out = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
+
+    # all-hole windows: centre depth decides in-front-of-geometry vs
+    # background (tsdf_inpaint.fs:59-68)
+    pr = _pick(h2, hp)
+    pc = _pick(w2, wp)
+    d_center = (
+        _wsum(pr, pc, jnp.stack([d_hi, d_lo], axis=-1), precise=(0, 1))
+        .sum(axis=-1)
+    )
+    empty = cnt < 0.5
+    hole_color = jnp.where(
+        (d_center < 1.0)[..., None],
+        jnp.array([0.0, 0.0, 0.0, -1.0], jnp.float32),
+        jnp.array([0.0, 1.0, 0.0, 0.0], jnp.float32),
+    )
+    c_out = jnp.where(empty[..., None], hole_color, c_out)
+    d_out = jnp.where(empty, d_center, d_out)
+    return c_out, d_out
+
+
+def build_pyramid(color: jnp.ndarray, depth: jnp.ndarray, num_lods: int,
+                  mm: bool | None = None):
     """LOD chain starting at the rendered image (fillColors loop,
-    recon_integration.cpp:299-321). Returns lists of per-LOD color/depth."""
+    recon_integration.cpp:299-321). Returns lists of per-LOD color/depth.
+    ``mm``: use the banded-matmul downsample (default on accelerators;
+    the 16-tap form stays as the oracle)."""
+    if mm is None:
+        mm = jax.default_backend() != "cpu"
+    down = inpaint_downsample_mm if mm else inpaint_downsample
     colors = [color]
     depths = [depth]
     for _ in range(num_lods - 1):
         if min(colors[-1].shape[0], colors[-1].shape[1]) < 2:
             break
-        c, d = inpaint_downsample(colors[-1], depths[-1])
+        c, d = down(colors[-1], depths[-1])
         colors.append(c)
         depths.append(d)
     return colors, depths

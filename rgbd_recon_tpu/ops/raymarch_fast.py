@@ -279,16 +279,25 @@ def render_fast(
 
     fr_cl = jnp.clip(fr, 0.0, ti - 1.0)
     fc_cl = jnp.clip(fc, 0.0, si - 1.0)
-    if h % 8 == 0 and w % 32 == 0:
+    # largest tile that divides the screen: the per-tile window fetch is a
+    # batched gather, and its byte count scales with the TILE COUNT (each
+    # tile re-fetches its window) — (8, 32) tiles at 720p meant 3600
+    # windows (~99 MB of gather); (48, 128) tiles fetch ~19 MB
+    th = next((t for t in (48, 24, 16, 8) if h % t == 0), None)
+    tw = next((t for t in (128, 64, 32) if w % t == 0), None)
+    if th is not None and tw is not None:
         # window sized to the screen-tile footprint on the intermediate
         # grid (scale ratio + homography margin), rounded to sublanes
         def _ru8(n):
             return -(-n // 8) * 8
 
-        wh_w = min(_ru8(math.ceil(8 * ti / h) + 8), ti)
-        ww_w = min(_ru8(math.ceil(32 * si / w) + 16), si)
+        # 1.5x the linear-scale footprint: the homography's local scale
+        # varies across a large tile (a constant margin that was fine for
+        # 8-row tiles clipped ~20% of samples on 48-row tiles)
+        wh_w = min(_ru8(math.ceil(th * ti / h * 1.5) + 8), ti)
+        ww_w = min(_ru8(math.ceil(tw * si / w * 1.5) + 16), si)
         warped = sample2d_blocked_px(
-            packed, fr_cl, fc_cl, tile=(8, 32), window=(wh_w, ww_w),
+            packed, fr_cl, fc_cl, tile=(th, tw), window=(wh_w, ww_w),
             precise_channels=(1,),  # hit_s carries depth
         )
     else:  # odd render sizes: per-pixel taps (tests at tiny resolutions)

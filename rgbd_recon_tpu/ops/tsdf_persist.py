@@ -189,37 +189,31 @@ def _kernel(
                 cols_l = _hat2d(ux_l[:, None], WX)        # [HB, WX]
                 cols_n = _onehot2d(ux_n[:, None], WX)
 
-                # COLS-FIRST contraction: contracting x on the MXU puts the
-                # full 128-lane window width on the systolic array's K dim
-                # (the rows-first form had K=WY=48 — 37% utilization — and
-                # left the larger [HB, WX] axis to VPU lane-reductions;
-                # measured 32+21 us/brick, ~2.5x this form). The exactness
-                # split moves with it: depth contracts its one-hot against
-                # the hi/lo-split depth planes (bf16-exact products, <=1
-                # nonzero per row), LINEAR channels carry the bf16 hat
-                # rounding on the x hat like the old form did (SIL_PL gate).
+                # rows-first contraction. A cols-first variant (full
+                # 128-lane K on the MXU + smaller y-reductions) measured
+                # 54 ms vs this form's 33 at 256^3: the per-brick-sensor
+                # [7*WY, WX] window transposes it needs cost more than the
+                # MXU utilization gain buys.
                 bf16 = jnp.bfloat16
+                rows_l16 = rows_l.astype(bf16)
+                rows_n16 = rows_n.astype(bf16)            # 0/1 — exact in bf16
                 wnd = wnd_ref[slot, k]                    # [6, WY, WX]
                 d = wnd[0]
                 d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
                 d_lo = d - d_hi
-                stack = jnp.concatenate(
-                    [d_hi, d_lo, wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]],
-                    axis=0,
-                )                                         # [7*WY, WX]
-                wnd_t = stack.astype(bf16).T              # [WX, 7*WY]
-                t_n = jnp.dot(cols_n.astype(bf16), wnd_t[:, : 2 * WY],
-                              preferred_element_type=jnp.float32)
-                t_l = jnp.dot(cols_l.astype(bf16), wnd_t[:, 2 * WY:],
-                              preferred_element_type=jnp.float32)
-                depth = jnp.sum(
-                    (t_n[:, :WY] + t_n[:, WY:]) * rows_n, axis=1
-                )
-                sil = jnp.sum(t_l[:, 0 * WY:1 * WY] * rows_l, axis=1)
-                qual = jnp.sum(t_l[:, 1 * WY:2 * WY] * rows_l, axis=1)
-                r_ = jnp.sum(t_l[:, 2 * WY:3 * WY] * rows_l, axis=1)
-                g_ = jnp.sum(t_l[:, 3 * WY:4 * WY] * rows_l, axis=1)
-                b_ = jnp.sum(t_l[:, 4 * WY:5 * WY] * rows_l, axis=1)
+                dd = jnp.concatenate([d_hi, d_lo], axis=1).astype(bf16)
+                nt = jnp.dot(rows_n16, dd, preferred_element_type=jnp.float32)
+
+                qrgb = jnp.concatenate(
+                    [wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]], axis=1
+                ).astype(bf16)
+                lin = jnp.dot(rows_l16, qrgb, preferred_element_type=jnp.float32)
+                depth = jnp.sum((nt[:, :WX] + nt[:, WX:]) * cols_n, axis=1)
+                sil = jnp.sum(lin[:, 0 * WX:1 * WX] * cols_l, axis=1)
+                qual = jnp.sum(lin[:, 1 * WX:2 * WX] * cols_l, axis=1)
+                r_ = jnp.sum(lin[:, 2 * WX:3 * WX] * cols_l, axis=1)
+                g_ = jnp.sum(lin[:, 3 * WX:4 * WX] * cols_l, axis=1)
+                b_ = jnp.sum(lin[:, 4 * WX:5 * WX] * cols_l, axis=1)
 
                 cv = corner_ref[k]
                 depth = jnp.where(invalid, cv[0], depth)
