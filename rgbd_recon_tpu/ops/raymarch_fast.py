@@ -285,7 +285,21 @@ def render_fast(
     # windows (~99 MB of gather); (48, 128) tiles fetch ~19 MB
     th = next((t for t in (48, 24, 16, 8) if h % t == 0), None)
     tw = next((t for t in (128, 64, 32) if w % t == 0), None)
-    if th is not None and tw is not None:
+    use_pallas_warp = (
+        jax.default_backend() == "tpu"
+        and th is not None and tw is not None
+        and (th * tw) % 1024 == 0
+        and math.ceil(tw * si / w * 1.5) + 16 <= 128
+    )
+    if use_pallas_warp:
+        # VMEM-resident warp kernel: the XLA blocked form materializes its
+        # [pixels, window, C] row-stage in HBM (~2-3 GB/frame at 720p)
+        from .warp_pallas import warp_screen_pallas
+
+        warped = warp_screen_pallas(
+            packed, fr_cl, fc_cl, tile=(th, tw), precise_channels=(1,),
+        )
+    elif th is not None and tw is not None:
         # window sized to the screen-tile footprint on the intermediate
         # grid (scale ratio + homography margin), rounded to sublanes
         def _ru8(n):
