@@ -72,6 +72,14 @@ def _pad_edge(x: jnp.ndarray, k: int) -> jnp.ndarray:
 # morph
 
 
+def _force_xla() -> bool:
+    """RGBD_FORCE_XLA=1 disables the Pallas fast paths (on-chip A/B
+    debugging of kernel vs XLA formulations)."""
+    import os
+
+    return os.environ.get("RGBD_FORCE_XLA", "0") == "1"
+
+
 def morph_dilate(depth_m: jnp.ndarray) -> jnp.ndarray:
     """3x3 validity-aware dilation on raw depth in meters
     (pre_morph.fs:73-112 ``dilate`` with kernel_size=1).
@@ -162,7 +170,31 @@ def bilateral_lab(
         coords_c = warp.uv(d_for_color)
     else:
         coords_c = _sample_cv_per_pixel(rig.cv_uv, d_for_color, uv)
-    if warp is not None and h % 8 == 0 and w % 32 == 0:
+    # registration tile for the Pallas warp: largest tile whose source
+    # footprint (+ margins) fits one 128-lane x-block window
+    import math as _math
+
+    _th = next((t for t in (48, 24, 16, 8) if h % t == 0), None)
+    _tw = next(
+        (t for t in (128, 64, 32)
+         if w % t == 0 and _math.ceil(t * wc / w * 1.5) + 16 <= 128),
+        None,
+    )
+    if (warp is not None and jax.default_backend() == "tpu"
+            and not _force_xla()
+            and _th is not None and _tw is not None
+            and (_th * _tw) % 128 == 0):
+        # VMEM-resident warp (the XLA blocked sampler's row-stage
+        # intermediate spills ~15 ms/frame of HBM traffic here)
+        from .warp_pallas import warp_screen_pallas
+
+        fx = jnp.clip(coords_c[..., 0] * wc - 0.5, 0.0, wc - 1.0)
+        fy = jnp.clip(coords_c[..., 1] * hc - 0.5, 0.0, hc - 1.0)
+        color_rgb = jnp.stack([
+            warp_screen_pallas(color[k], fy[k], fx[k], tile=(_th, _tw))
+            for k in range(kk)
+        ])
+    elif warp is not None and h % 8 == 0 and w % 32 == 0:
         wnd = (min(96, hc), min(128, wc))
         color_rgb = jax.vmap(
             lambda im, co: sample2d_blocked(im, co, tile=(8, 32), window=wnd)
@@ -176,36 +208,46 @@ def bilateral_lab(
         lat = jnp.where(in_box, 1.0, 0.0)
         return jnp.stack([dn, lat], axis=-1), color_lab, color_rgb
 
-    # 13x13 bilateral on meters depth (pre_depth.fs:85-127, kernel_size=6),
-    # scanned over stencil rows (columns stay unrolled for fusion)
+    # 13x13 bilateral on meters depth (pre_depth.fs:85-127, kernel_size=6)
     ks = 6
     n_samples = float((2 * ks + 1) ** 2)
-    dist_range_max = 0.35 * (depth_m / MAX_DEPTH_M)  # pre_depth.fs:89-92
-    padded = _pad_edge(depth_m, ks)
+    if jax.default_backend() == "tpu" and h % 8 == 0 and not _force_xla():
+        # whole-image-in-VMEM Pallas accumulator: the scan form spills each
+        # tap's intermediates to HBM (~2 GB/frame, most of the stage cost)
+        from .preprocess_pallas import bilateral_accum_pallas
 
-    def row_body(carry, dy_idx):
-        depth_bf, w_acc, w_range = carry
-        row = jax.lax.dynamic_slice(padded, (0, dy_idx, 0), (kk, h, w + 2 * ks))
-        dyf = dy_idx.astype(jnp.float32) - ks
-        for dx in range(-ks, ks + 1):
-            s = jax.lax.slice(row, (0, 0, dx + ks), (kk, h, dx + ks + w))
-            dist = jnp.abs(s - depth_m)
-            outside = (s < cv_min) | (s > cv_max)
-            accept = (~outside) & (dist <= dist_range_max)
-            # NOTE gauss_space goes negative for |offset| > 6 px — the
-            # reference keeps those corner weights (pre_depth.fs:38-41)
-            gs = 1.0 - jnp.sqrt(jnp.float32(dx * dx) + dyf * dyf) / ks
-            gr = 1.0 - jnp.minimum(dist, dist_range_max) / dist_range_max
-            ws = gs * gr
-            depth_bf = depth_bf + jnp.where(accept, ws * s, 0.0)
-            w_acc = w_acc + jnp.where(accept, ws, 0.0)
-            w_range = w_range + jnp.where(accept, gr, 0.0)
-        return (depth_bf, w_acc, w_range), None
+        depth_bf, w_acc, w_range = bilateral_accum_pallas(
+            depth_m, rig.depth_limits
+        )
+    else:
+        dist_range_max = 0.35 * (depth_m / MAX_DEPTH_M)  # pre_depth.fs:89-92
+        padded = _pad_edge(depth_m, ks)
 
-    zeros = jnp.zeros_like(depth_m)
-    (depth_bf, w_acc, w_range), _ = jax.lax.scan(
-        row_body, (zeros, zeros, zeros), jnp.arange(2 * ks + 1)
-    )
+        def row_body(carry, dy_idx):
+            depth_bf, w_acc, w_range = carry
+            row = jax.lax.dynamic_slice(
+                padded, (0, dy_idx, 0), (kk, h, w + 2 * ks)
+            )
+            dyf = dy_idx.astype(jnp.float32) - ks
+            for dx in range(-ks, ks + 1):
+                s = jax.lax.slice(row, (0, 0, dx + ks), (kk, h, dx + ks + w))
+                dist = jnp.abs(s - depth_m)
+                outside = (s < cv_min) | (s > cv_max)
+                accept = (~outside) & (dist <= dist_range_max)
+                # NOTE gauss_space goes negative for |offset| > 6 px — the
+                # reference keeps those corner weights (pre_depth.fs:38-41)
+                gs = 1.0 - jnp.sqrt(jnp.float32(dx * dx) + dyf * dyf) / ks
+                gr = 1.0 - jnp.minimum(dist, dist_range_max) / dist_range_max
+                ws = gs * gr
+                depth_bf = depth_bf + jnp.where(accept, ws * s, 0.0)
+                w_acc = w_acc + jnp.where(accept, ws, 0.0)
+                w_range = w_range + jnp.where(accept, gr, 0.0)
+            return (depth_bf, w_acc, w_range), None
+
+        zeros = jnp.zeros_like(depth_m)
+        (depth_bf, w_acc, w_range), _ = jax.lax.scan(
+            row_body, (zeros, zeros, zeros), jnp.arange(2 * ks + 1)
+        )
 
     filtered = depth_bf / jnp.where(w_acc != 0.0, w_acc, 1.0)
     filtered = jnp.where(w_acc != 0.0, filtered, 0.0)  # guard the 0/0 the GL code leaves as NaN

@@ -78,9 +78,10 @@ def _kernel(
     ).astype(jnp.bfloat16)                     # [WH, n_ch*WXW]
 
     p_total = fy_ref.shape[1]
-    for c0 in range(0, p_total, PCHUNK):
-        ry = jnp.clip(fy_ref[t, c0:c0 + PCHUNK] - y0, 0.0, wh - 1.0)
-        rx = jnp.clip(fx_ref[t, c0:c0 + PCHUNK] - x0, 0.0, WXW - 1.0)
+    pchunk = min(PCHUNK, p_total)
+    for c0 in range(0, p_total, pchunk):
+        ry = jnp.clip(fy_ref[t, c0:c0 + pchunk] - y0, 0.0, wh - 1.0)
+        rx = jnp.clip(fx_ref[t, c0:c0 + pchunk] - x0, 0.0, WXW - 1.0)
         wyh = _hat2d(ry[:, None], wh)          # [PCHUNK, WH]
         wxh = _hat2d(rx[:, None], WXW)         # [PCHUNK, WXW]
         lin = jnp.dot(wyh.astype(jnp.bfloat16), qcat,
@@ -91,7 +92,7 @@ def _kernel(
                 jnp.sum(lin[:, c * WXW:(c + 1) * WXW] * wxh, axis=1)
             )
         outs += [jnp.zeros_like(outs[0])] * (CPAD - n_ch)
-        out_ref[0, :, pl.ds(c0, PCHUNK)] = jnp.stack(outs)
+        out_ref[0, :, pl.ds(c0, pchunk)] = jnp.stack(outs)
 
 
 def warp_screen_pallas(
@@ -113,7 +114,7 @@ def warp_screen_pallas(
     nty, ntx = h // th, w // tw
     nt = nty * ntx
     p = th * tw
-    assert p % PCHUNK == 0
+    assert p % min(PCHUNK, p) == 0 and p % 128 == 0
 
     def _ru8(n):
         return -(-n // 8) * 8
