@@ -258,6 +258,61 @@ def build_pyramid(color: jnp.ndarray, depth: jnp.ndarray, num_lods: int,
     return colors, depths
 
 
+def colorfill_mm(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarray:
+    """Coarse-to-fine ``colorfill`` (same selection rules as the oracle
+    below) evaluated at native LOD resolutions.
+
+    The per-screen-pixel form materializes six full-resolution LOD repeats
+    plus six full-resolution upsamples and select-chains (~9 ms,
+    resolution-independent). Here the result propagates down the pyramid:
+    at level l the first-valid==l pixels take the reference's two-coarser
+    blend (tsdf_colorfill.fs:42-51) evaluated on the level-l grid, and
+    everything coarser arrives via one 2x GL resize of the level-(l+1)
+    partial result. Total work ≈ two half-res passes.
+
+    Documented deviation: selections and blends resolve on the level-l
+    grid and are bilinearly upsampled, so fill-region transitions are
+    2^l-pixel soft edges instead of per-screen-pixel hard picks (the
+    affected pixels are inpainted holes by construction); non-hole pixels
+    pass c0 through exactly, and background handling is identical."""
+    h, w = depths[0].shape
+    n = len(colors)
+    lod0_hole = colors[0][..., 3] <= 0.0
+    background = lod0_hole & (depths[0] >= 1.0)
+
+    def uvw(hl, wl):
+        uv = jnp.stack(
+            jnp.meshgrid(
+                (jnp.arange(wl, dtype=jnp.float32) + 0.5) / wl,
+                (jnp.arange(hl, dtype=jnp.float32) + 0.5) / hl,
+                indexing="xy",
+            ),
+            axis=-1,
+        )
+        w1 = jnp.linalg.norm(uv, axis=-1)
+        return w1, 1.0 - w1
+
+    t = None
+    for l in range(n - 1, 0, -1):
+        hl, wl = colors[l].shape[:2]
+        l1 = min(l + 1, n - 1)
+        l2 = min(l + 2, n - 1)
+        c1 = resize2d_gl(colors[l1], (hl, wl)) if l1 != l else colors[l]
+        c2 = resize2d_gl(colors[l2], (hl, wl)) if l2 != l else colors[l]
+        w1, w2 = uvw(hl, wl)
+        blend = (c1 * w1[..., None] + c2 * w2[..., None]) / (w1 + w2)[..., None]
+        valid_l = colors[l][..., 3] > 0.0
+        if t is None:
+            t = blend
+        else:
+            t_up = resize2d_gl(t, (hl, wl))
+            t = jnp.where(valid_l[..., None], blend, t_up)
+    filled = resize2d_gl(t, (h, w)) if t is not None else colors[0]
+    out = jnp.where(lod0_hole[..., None], filled, colors[0])
+    out = jnp.where(background[..., None], colors[0], out)
+    return out
+
+
 def colorfill(colors: list[jnp.ndarray], depths: list[jnp.ndarray]) -> jnp.ndarray:
     """Resolve pass (tsdf_colorfill.fs:30-55): per pixel take the finest
     non-hole LOD; where that is coarser than LOD 0, blend the two

@@ -443,6 +443,8 @@ class FramePipeline:
     def _fill_impl(self, color, depth):
         """holefill: inpaint pyramid + colorfill resolve."""
         pyr_c, pyr_d = inpaint.build_pyramid(color, depth, self.cfg.num_lods)
+        if jax.default_backend() != "cpu":
+            return inpaint.colorfill_mm(pyr_c, pyr_d)
         return inpaint.colorfill(pyr_c, pyr_d)
 
     def _step_impl(self, depth_m, color, modelview, proj, rig=None, warp=None,

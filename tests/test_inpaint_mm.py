@@ -39,3 +39,22 @@ def test_pyramid_mm_chain(rng):
     for a, b in zip(pc_a[1:], pc_b[1:]):
         same = np.isclose(np.asarray(a), np.asarray(b), atol=1e-2).all(axis=-1)
         assert same.mean() > 0.98
+
+
+def test_colorfill_mm_matches_oracle(rng):
+    c, d = _mk(96, 128, rng, hole_frac=0.5)
+    pc, pd = inpaint.build_pyramid(c, d, 5)
+    ref = np.asarray(inpaint.colorfill(pc, pd))
+    got = np.asarray(inpaint.colorfill_mm(pc, pd))
+    hole = np.asarray(pc[0][..., 3] <= 0.0)
+    bg = hole & (np.asarray(pd[0]) >= 1.0)
+    # non-hole and background pixels pass c0 through exactly
+    np.testing.assert_array_equal(ref[~hole], got[~hole])
+    np.testing.assert_array_equal(ref[bg], got[bg])
+    # filled pixels: same blend fields resolved on coarser grids — smooth
+    # deviation only
+    fill = hole & ~bg
+    if fill.any():
+        dv = np.abs(ref[fill][:, :3] - got[fill][:, :3])
+        assert np.median(dv) < 0.06, np.median(dv)
+        assert (dv < 0.25).mean() > 0.9, (dv < 0.25).mean()
