@@ -153,6 +153,13 @@ def sweep(
                          preferred_element_type=jnp.float32)
         return out  # [Ti, Si, 5]
 
+    # mixed-precision scan carry: ~18 f32 planes re-written every slice
+    # made the sweep HBM-bound (carry traffic, not the resample matmuls).
+    # Depth-critical state (hit flag/position, previous density) stays f32;
+    # colors/gradients/sample counts carry bf16 (2^-9 — inside the bf16
+    # resample rounding already applied; counts <= ns are bf16-exact)
+    bf16 = jnp.bfloat16
+
     def body(carry, k):
         hit, hit_s, hit_c, hit_g, prev_d, prev_c, prev_g, nsamp = carry
         s_k = (k.astype(jnp.float32) + 0.5) * ds
@@ -185,23 +192,27 @@ def sweep(
         # reference refinement (fs:100): pos = (pos - step) - step*frac
         s_hit = s_k - ds - ds * frac
         alpha = jnp.clip(-frac, 0.0, 1.0)
-        c_hit = prev_c + (c - prev_c) * alpha[..., None]
-        g_hit = prev_g + (g - prev_g) * alpha[..., None]
+        c_hit = prev_c.astype(jnp.float32) + (c - prev_c) * alpha[..., None]
+        g_hit = prev_g.astype(jnp.float32) + (g - prev_g) * alpha[..., None]
 
         hit_s = jnp.where(crossed, s_hit, hit_s)
-        hit_c = jnp.where(crossed[..., None], c_hit, hit_c)
-        hit_g = jnp.where(crossed[..., None], g_hit, hit_g)
+        hit_c = jnp.where(crossed[..., None], c_hit.astype(bf16), hit_c)
+        hit_g = jnp.where(crossed[..., None], g_hit.astype(bf16), hit_g)
         hit = jnp.where(crossed, 1.0, hit)
-        nsamp = nsamp + active.astype(jnp.float32)
-        return (hit, hit_s, hit_c, hit_g, d, c, g, nsamp), None
+        nsamp = nsamp + active.astype(bf16)
+        return (hit, hit_s, hit_c, hit_g, d, c.astype(bf16), g.astype(bf16),
+                nsamp), None
 
     z2 = jnp.zeros((ti, si), jnp.float32)
-    z3 = jnp.zeros((ti, si, 3), jnp.float32)
-    z4 = jnp.zeros((ti, si, 4), jnp.float32)
-    init = (z2, z2, z4, z3, jnp.full((ti, si), -limit), z4, z3, z2)
+    z2h = jnp.zeros((ti, si), bf16)
+    z3h = jnp.zeros((ti, si, 3), bf16)
+    z4h = jnp.zeros((ti, si, 4), bf16)
+    init = (z2, z2, z4h, z3h, jnp.full((ti, si), -limit), z4h, z3h, z2h)
     final, _ = jax.lax.scan(body, init, jnp.arange(ns))
-    hit, hit_s, hit_c, hit_g = final[0], final[1], final[2], final[3]
-    nsamp = final[7]
+    hit, hit_s = final[0], final[1]
+    hit_c = final[2].astype(jnp.float32)
+    hit_g = final[3].astype(jnp.float32)
+    nsamp = final[7].astype(jnp.float32)
     return SweepResult(
         hit, hit_s, hit_c, hit_g,
         (g_lo[0], g_hi[0], g_lo[1], g_hi[1]),
