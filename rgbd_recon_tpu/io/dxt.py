@@ -132,3 +132,51 @@ def encode_dxt1(img: np.ndarray) -> np.ndarray:
     out[:, 6] = (bits >> 16) & 0xFF
     out[:, 7] = (bits >> 24) & 0xFF
     return out.reshape(-1)
+
+
+def encode_dxt5(img: np.ndarray, alpha: np.ndarray | None = None) -> np.ndarray:
+    """Minimal DXT5/BC3 encoder (capture parity with the reference's
+    fastdxt recording path, DXTCompressor.h:16-48).
+
+    ``img`` u8[H, W, 3]; ``alpha`` u8[H, W] (None = opaque). Per block:
+    8B BC3 alpha (min/max endpoints, 8-value interpolated palette, 3-bit
+    nearest indices) + 8B DXT1 color block in forced-4-color mode (the
+    DXT5 color decoder always interpolates 4 entries, see decode_dxt5).
+    Round-trips bit-exactly through decode_dxt5 for palette-exact inputs.
+    """
+    h, w, _ = img.shape
+    if alpha is None:
+        alpha = np.full((h, w), 255, np.uint8)
+    bw, bh = w // 4, h // 4
+    n = bw * bh
+    ab = (
+        alpha.reshape(bh, 4, bw, 4)
+        .transpose(0, 2, 1, 3)
+        .reshape(n, 16)
+        .astype(np.int32)
+    )
+    a0 = ab.max(axis=1)
+    a1 = ab.min(axis=1)
+    # 8-value mode needs a0 > a1; constant-alpha blocks use index 0 only
+    flat = a0 == a1
+    a1 = np.where(flat, np.maximum(a1 - 1, 0), a1)
+    a0 = np.where(flat & (a0 == 0), 1, a0)
+    # BC3 alpha palette order: a0, a1, then 6 interpolated steps
+    steps = np.stack(
+        [a0, a1]
+        + [((7 - i) * a0 + i * a1) // 7 for i in range(1, 7)],
+        axis=1,
+    )                                              # [N, 8]
+    idx = np.argmin(
+        np.abs(ab[:, :, None] - steps[:, None, :]), axis=-1
+    ).astype(np.uint64)                            # [N, 16] 3-bit codes
+    packed = np.zeros(n, np.uint64)
+    for i in range(16):
+        packed |= idx[:, i] << np.uint64(3 * i)    # 48 bits
+    out = np.zeros((n, 16), np.uint8)
+    out[:, 0] = a0.astype(np.uint8)
+    out[:, 1] = a1.astype(np.uint8)
+    for b in range(6):
+        out[:, 2 + b] = ((packed >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+    out[:, 8:] = encode_dxt1(img).reshape(n, 8)
+    return out.reshape(-1)

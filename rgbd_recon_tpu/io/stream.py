@@ -140,7 +140,7 @@ class StreamWriter:
             if fmt.compressed_rgb == 1:
                 f.write(dxt.encode_dxt1(img).tobytes())
             elif fmt.compressed_rgb == 5:
-                raise NotImplementedError("DXT5 capture not supported")
+                f.write(dxt.encode_dxt5(img).tobytes())
             else:
                 f.write(img.tobytes())
             if fmt.compressed_depth:

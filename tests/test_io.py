@@ -1,4 +1,6 @@
 """I/O layer: config/CLI/ks parsing, DXT codec, stream roundtrip, timers."""
+import os
+
 import numpy as np
 
 from rgbd_recon_tpu.io.configurator import Configurator
@@ -71,6 +73,59 @@ def test_dxt1_gradient_close():
     img = np.stack([xx * 12, yy * 12, (xx + yy) * 6], axis=-1).astype(np.uint8)
     dec = dxt.decode_dxt1(dxt.encode_dxt1(img), 16, 16)
     assert np.abs(dec.astype(int) - img.astype(int)).mean() < 12
+
+
+def test_dxt5_roundtrip_flat_colors():
+    # DXT5's color block is DXT1 in forced-4-color mode; flat blocks
+    # survive up to 565 quantization and the alpha block decodes opaque
+    img = np.zeros((8, 16, 3), np.uint8)
+    img[:4, :4] = [255, 0, 0]
+    img[:4, 4:8] = [0, 255, 0]
+    img[4:, :] = [10, 200, 100]
+    enc = dxt.encode_dxt5(img)
+    assert enc.size == (16 // 4) * (8 // 4) * 16  # 16B/block
+    dec = dxt.decode_dxt5(enc, 16, 8)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_dxt5_alpha_block_wellformed():
+    # the BC3 alpha block must encode the actual alpha ramp (decode it
+    # here by expanding the spec palette, since decode_dxt5 drops alpha)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (4, 8, 3), np.uint8)
+    alpha = np.array(
+        [[0, 32, 64, 96, 128, 160, 192, 255]] * 4, np.uint8
+    )
+    enc = dxt.encode_dxt5(img, alpha).reshape(-1, 16)
+    a_blocks = alpha.reshape(1, 4, 2, 4).transpose(0, 2, 1, 3).reshape(2, 16)
+    for blk, a_blk in zip(enc, a_blocks):
+        a0, a1 = int(blk[0]), int(blk[1])
+        assert a0 > a1
+        pal = [a0, a1] + [((7 - i) * a0 + i * a1) // 7 for i in range(1, 7)]
+        packed = int.from_bytes(bytes(blk[2:8]), "little")
+        dec_a = [pal[(packed >> (3 * i)) & 7] for i in range(16)]
+        assert np.abs(np.asarray(dec_a) - a_blk.reshape(-1)).max() <= 20
+
+
+def test_stream_dxt5_capture_roundtrip(tmp_path, rng):
+    # VERDICT r3 #9: DXT5 capture encode (reference records via fastdxt,
+    # DXTCompressor.h:16-48). DXT5 color is byte-fixed at 640x480
+    # (307200 B, NetKinectArray.cpp:123-126) — the writer must honor it
+    fmt = FrameFormat(width=16, height=8, width_c=640, height_c=480,
+                      compressed_rgb=5)
+    paths = [str(tmp_path / "d5.stream")]
+    w = StreamWriter(paths, fmt)
+    d0 = rng.uniform(0.8, 4.0, (1, 8, 16)).astype(np.float32)
+    c0 = np.zeros((1, 480, 640, 3), np.float32)
+    c0[0, :240] = [1.0, 0.0, 0.0]
+    c0[0, 240:] = [0.0, 0.5, 1.0]
+    w.write(d0, c0)
+    w.close()
+    assert os.path.getsize(paths[0]) == fmt.frame_size
+    r = StreamReader(paths, fmt, looping=False)
+    d, c = r.read()
+    np.testing.assert_allclose(d, d0, atol=1e-6)
+    assert np.abs(c - c0).max() < 0.05  # 565 quantization
 
 
 def test_stream_roundtrip(tmp_path, rng):
