@@ -171,19 +171,22 @@ def bilateral_lab(
     else:
         coords_c = _sample_cv_per_pixel(rig.cv_uv, d_for_color, uv)
     # registration tile for the Pallas warp: largest tile whose source
-    # footprint (+ margins) fits one 128-lane x-block window
+    # footprint (+ margins) fits one 128-lane x-block window AND whose pixel
+    # count satisfies warp_screen_pallas's chunking (p % min(1024, p) == 0 —
+    # e.g. (48, 32) gives p=1536, which the kernel rejects)
     import math as _math
 
-    _th = next((t for t in (48, 24, 16, 8) if h % t == 0), None)
-    _tw = next(
-        (t for t in (128, 64, 32)
-         if w % t == 0 and _math.ceil(t * wc / w * 1.5) + 16 <= 128),
-        None,
+    _th, _tw = next(
+        ((t_h, t_w) for t_h in (48, 24, 16, 8) for t_w in (128, 64, 32)
+         if h % t_h == 0 and w % t_w == 0
+         and _math.ceil(t_w * wc / w * 1.5) + 16 <= 128
+         and (t_h * t_w) % 128 == 0
+         and ((t_h * t_w) % 1024 == 0 or t_h * t_w < 1024)),
+        (None, None),
     )
     if (warp is not None and jax.default_backend() == "tpu"
             and not _force_xla()
-            and _th is not None and _tw is not None
-            and (_th * _tw) % 128 == 0):
+            and _th is not None and _tw is not None):
         # VMEM-resident warp (the XLA blocked sampler's row-stage
         # intermediate spills ~15 ms/frame of HBM traffic here)
         from .warp_pallas import warp_screen_pallas
