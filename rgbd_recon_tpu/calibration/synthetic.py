@@ -65,6 +65,162 @@ class PinholeCamera(NamedTuple):
         return u, v, z
 
 
+class DistortedCamera(NamedTuple):
+    """Non-pinhole camera: Brown-Conrady lens distortion + a smooth
+    low-frequency world-space deformation emulating the NNI-interpolated
+    calibration bake of real rigs (KinectCalibrationFile.cpp:148-580 loads
+    cv volumes produced from distortion-corrected, natural-neighbour-
+    interpolated sparse correspondences — nothing in them is pinhole).
+
+    Duck-types PinholeCamera's interface (project/unproject/position/...)
+    so the synthetic bake and renderers work unchanged. project∘unproject
+    is identity to iteration tolerance (~1e-9 for mild parameters).
+
+    Why this breaks the fast-path assumptions (what VERDICT r4 #4 tests):
+      * lens distortion alone keeps per-pixel depth-affinity intact (a
+        central camera's ray is still a straight line) but bends the
+        voxel->sensor mapping, stressing the per-brick quadratic fit
+        (ops/tsdf_affine.py, affine_tol);
+      * the world warp makes rays CURVED in world space — per-pixel
+        affinity in depth (ops/warp.py, warp_tol) genuinely fails at
+        sufficient amplitude, which is what real NNI bakes do.
+    """
+
+    base: PinholeCamera
+    k1: float = 0.0
+    k2: float = 0.0
+    k3: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    warp_amp: float = 0.0              # meters
+    warp_freq: tuple = (2.1, 1.7, 2.6)   # rad/m per axis
+    warp_phase: tuple = (0.3, 1.1, 2.0)
+
+    # -- PinholeCamera surface ------------------------------------------
+    @property
+    def width(self):
+        return self.base.width
+
+    @property
+    def height(self):
+        return self.base.height
+
+    @property
+    def near(self):
+        return self.base.near
+
+    @property
+    def far(self):
+        return self.base.far
+
+    @property
+    def rot(self):
+        return self.base.rot
+
+    @property
+    def trans(self):
+        return self.base.trans
+
+    @property
+    def fx(self):
+        return self.base.fx
+
+    @property
+    def fy(self):
+        return self.base.fy
+
+    @property
+    def cx(self):
+        return self.base.cx
+
+    @property
+    def cy(self):
+        return self.base.cy
+
+    @property
+    def position(self) -> np.ndarray:
+        return self.base.position
+
+    # -- distortion model -----------------------------------------------
+    def _distort(self, x, y):
+        r2 = x * x + y * y
+        f = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
+        xd = x * f + 2.0 * self.p1 * x * y + self.p2 * (r2 + 2.0 * x * x)
+        yd = y * f + self.p1 * (r2 + 2.0 * y * y) + 2.0 * self.p2 * x * y
+        return xd, yd
+
+    def _undistort(self, xd, yd, iters: int = 100):
+        # fixed point converges linearly (rate ~ |k1| r^2 at Kinect
+        # magnitudes); iterate to machine precision with an early exit —
+        # 20 rounds left ~1e-7 residual at frame corners
+        x, y = np.copy(xd), np.copy(yd)
+        for _ in range(iters):
+            r2 = x * x + y * y
+            f = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
+            dx = 2.0 * self.p1 * x * y + self.p2 * (r2 + 2.0 * x * x)
+            dy = self.p1 * (r2 + 2.0 * y * y) + 2.0 * self.p2 * x * y
+            xn = (xd - dx) / f
+            yn = (yd - dy) / f
+            step = max(np.max(np.abs(xn - x)), np.max(np.abs(yn - y)))
+            x, y = xn, yn
+            if step < 1e-14:
+                break
+        return x, y
+
+    def _warp_field(self, p):
+        """Smooth world-space displacement (the NNI-bake emulation)."""
+        if self.warp_amp == 0.0:
+            return np.zeros_like(p)
+        fr = np.asarray(self.warp_freq, np.float64)
+        ph = np.asarray(self.warp_phase, np.float64)
+        # each component driven by a rotated coordinate so the field mixes
+        # axes (a pure per-axis field would be axis-separable — too easy)
+        s = np.stack(
+            [
+                np.sin(fr[0] * p[..., 1] + fr[1] * p[..., 2] + ph[0]),
+                np.sin(fr[1] * p[..., 2] + fr[2] * p[..., 0] + ph[1]),
+                np.sin(fr[2] * p[..., 0] + fr[0] * p[..., 1] + ph[2]),
+            ],
+            axis=-1,
+        )
+        return self.warp_amp * s
+
+    def _unwarp(self, q, iters: int = 15):
+        p = np.copy(q)
+        for _ in range(iters):
+            p = q - self._warp_field(p)
+        return p
+
+    # -- projection ------------------------------------------------------
+    def project(self, p_world: np.ndarray):
+        w = np.asarray(p_world, np.float64)
+        w = w + self._warp_field(w)
+        cam = self.base.world_to_cam(w)
+        z = cam[..., 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        xd, yd = self._distort(cam[..., 0] / zs, cam[..., 1] / zs)
+        u = (xd * self.base.fx + self.base.cx) / self.base.width
+        v = (yd * self.base.fy + self.base.cy) / self.base.height
+        return u, v, z
+
+    def unproject(self, u, v, z) -> np.ndarray:
+        xd = (np.asarray(u, np.float64) * self.base.width - self.base.cx) / self.base.fx
+        yd = (np.asarray(v, np.float64) * self.base.height - self.base.cy) / self.base.fy
+        x, y = self._undistort(xd, yd)
+        zb = np.asarray(z, np.float64)
+        cam = np.stack(np.broadcast_arrays(x * zb, y * zb, zb), axis=-1)
+        return self._unwarp(self.base.cam_to_world(cam))
+
+
+def kinect_distortion(cam: PinholeCamera, warp_amp: float = 0.004) -> DistortedCamera:
+    """Wrap with Kinect-v2-magnitude lens distortion (typical factory
+    IR-camera coefficients) + a ~4 mm NNI-like bake deformation."""
+    return DistortedCamera(
+        base=cam, k1=0.09, k2=-0.27, k3=0.09, p1=6e-4, p2=-4e-4,
+        warp_amp=warp_amp,
+    )
+
+
 def make_cameras(
     num: int,
     bbox: Bbox,
@@ -101,10 +257,13 @@ def make_cameras(
     return cams
 
 
-def bake_forward_volumes(cam: PinholeCamera, res=(128, 256, 128)):
+def bake_forward_volumes(cam, res=(128, 256, 128), color_cam=None):
     """cv_xyz + cv_uv on the (u, v, d_norm) grid, like the reference's offline
     bake output (CalibVolumes.cpp:19 uses 128x256x128). Grid points sit on
-    texel centers so GL-LINEAR sampling reconstructs the analytic model."""
+    texel centers so GL-LINEAR sampling reconstructs the analytic model.
+    ``color_cam``: the rgb camera for cv_uv (defaults to the depth camera,
+    the simple synthetic rig; distorted rigs pass an offset camera like the
+    reference's separate rgb_intrinsics/R/T)."""
     rx, ry, rz = res
     u = (np.arange(rx, dtype=np.float64) + 0.5) / rx
     v = (np.arange(ry, dtype=np.float64) + 0.5) / ry
@@ -112,7 +271,7 @@ def bake_forward_volumes(cam: PinholeCamera, res=(128, 256, 128)):
     dd, vv, uu = np.meshgrid(d, v, u, indexing="ij")  # [Dz, Dy, Dx]
     z = cam.near + dd * (cam.far - cam.near)
     world = cam.unproject(uu, vv, z)
-    cu, cv_, _ = cam.project(world)  # color cam == depth cam in the synthetic rig
+    cu, cv_, _ = (color_cam or cam).project(world)
     cv_xyz = CalibrationVolume(
         np.array([rx, ry, rz], np.uint32),
         np.array([cam.near, cam.far], np.float32),
@@ -126,7 +285,7 @@ def bake_forward_volumes(cam: PinholeCamera, res=(128, 256, 128)):
     return cv_xyz, cv_uv
 
 
-def bake_inverse_volume(cam: PinholeCamera, bbox: Bbox, res=(128, 128, 128)):
+def bake_inverse_volume(cam, bbox: Bbox, res=(128, 128, 128)):
     """Analytic cv_xyz_inv: voxel center (half-voxel offset like
     calibration_inverter.cpp:76-77) -> (u, v, d_norm); -1 outside the view
     (frustum cull, calibration_inverter.cpp:95-98). res is (x, y, z)."""
@@ -153,6 +312,22 @@ def bake_inverse_volume(cam: PinholeCamera, bbox: Bbox, res=(128, 128, 128)):
     )
 
 
+def _offset_color_cam(cam: PinholeCamera) -> PinholeCamera:
+    """Rgb camera a few cm / ~0.6 deg off the depth camera (real Kinects
+    have distinct IR and RGB sensors; the reference carries R/T between
+    them, KinectCalibrationFile.cpp:231-254)."""
+    ang = 0.01
+    rd = np.array(
+        [[np.cos(ang), 0.0, np.sin(ang)],
+         [0.0, 1.0, 0.0],
+         [-np.sin(ang), 0.0, np.cos(ang)]], np.float64
+    )
+    return cam._replace(
+        rot=(rd @ cam.rot).astype(np.float32),
+        trans=(rd @ cam.trans + np.array([-0.052, 0.002, 0.004])).astype(np.float32),
+    )
+
+
 def synthetic_rig(
     num_sensors: int = 4,
     bbox: Bbox | None = None,
@@ -160,12 +335,34 @@ def synthetic_rig(
     inv_res=(96, 96, 96),
     width: int = 512,
     height: int = 424,
-) -> tuple[RigCalibration, list[PinholeCamera]]:
+    distortion: float | None = None,
+):
+    """Synthetic calibrated rig. ``distortion=None``: exact pinholes
+    (all-zero distortion — the friendly case). ``distortion=warp_amp``
+    (meters, e.g. 0.004): Kinect-magnitude lens distortion + an NNI-like
+    world deformation of that amplitude + an offset rgb camera — the
+    realistic case VERDICT r4 #4 requires; 0.0 gives lens distortion only.
+    Returns (rig, depth_cams); with distortion also color cams as third
+    element."""
     bbox = bbox or Bbox.default()
     cams = make_cameras(num_sensors, bbox, width=width, height=height)
+    color_cams = None
+    if distortion is not None:
+        cams = [kinect_distortion(c, warp_amp=distortion) for c in cams]
+        color_cams = [
+            DistortedCamera(
+                base=_offset_color_cam(c.base),
+                k1=0.05, k2=-0.16, k3=0.05, p1=4e-4, p2=3e-4,
+                warp_amp=c.warp_amp, warp_freq=c.warp_freq,
+                warp_phase=c.warp_phase,
+            )
+            for c in cams
+        ]
     xyz, uv, inv = [], [], []
-    for cam in cams:
-        a, b = bake_forward_volumes(cam, fwd_res)
+    for i, cam in enumerate(cams):
+        a, b = bake_forward_volumes(
+            cam, fwd_res, color_cam=color_cams[i] if color_cams else None
+        )
         xyz.append(a)
         uv.append(b)
         inv.append(bake_inverse_volume(cam, bbox, inv_res))
@@ -175,6 +372,8 @@ def synthetic_rig(
     rig = rig._replace(
         camera_positions=np.stack([c.position for c in cams]).astype(np.float32)
     )
+    if distortion is not None:
+        return rig, cams, color_cams
     return rig, cams
 
 
@@ -202,9 +401,44 @@ class SphereScene(NamedTuple):
         return d.min(axis=-1)
 
 
-def render_depth(cam: PinholeCamera, scene: SphereScene) -> np.ndarray:
+def _render_depth_general(cam, scene: SphereScene) -> np.ndarray:
+    """Depth for ANY camera exposing unproject (curved rays included):
+    per pixel, the smallest z in [near, far] with sdf(unproject(u,v,z))=0 —
+    coarse march + bisection, so the depth maps stay exactly consistent
+    with the (distorted) calibration volumes baked from the same model."""
+    h, w = cam.height, cam.width
+    u = (np.arange(w, dtype=np.float64) + 0.5) / w
+    v = (np.arange(h, dtype=np.float64) + 0.5) / h
+    uu, vv = np.meshgrid(u, v, indexing="xy")
+
+    n_coarse = 256
+    zs = np.linspace(cam.near, cam.far, n_coarse)
+    prev_s = scene.sdf(cam.unproject(uu, vv, np.full_like(uu, zs[0])))
+    z_lo = np.full((h, w), np.nan)
+    z_hi = np.full((h, w), np.nan)
+    for zk in zs[1:]:
+        s = scene.sdf(cam.unproject(uu, vv, np.full_like(uu, zk)))
+        crossing = (prev_s > 0) & (s <= 0) & np.isnan(z_lo)
+        z_lo = np.where(crossing, zk - (zs[1] - zs[0]), z_lo)
+        z_hi = np.where(crossing, zk, z_hi)
+        prev_s = s
+    hit = ~np.isnan(z_lo)
+    z_lo = np.where(hit, z_lo, cam.near)
+    z_hi = np.where(hit, z_hi, cam.far)
+    for _ in range(40):
+        zm = 0.5 * (z_lo + z_hi)
+        sm = scene.sdf(cam.unproject(uu, vv, zm))
+        z_hi = np.where(sm <= 0, zm, z_hi)
+        z_lo = np.where(sm <= 0, z_lo, zm)
+    z = 0.5 * (z_lo + z_hi)
+    return np.where(hit, z, 0.0).astype(np.float32)
+
+
+def render_depth(cam, scene: SphereScene) -> np.ndarray:
     """Analytic Kinect-style depth map f32[H, W] in meters (z-depth of the
     first sphere hit; 0 where no hit, mimicking invalid Kinect pixels)."""
+    if isinstance(cam, DistortedCamera):
+        return _render_depth_general(cam, scene)
     h, w = cam.height, cam.width
     u = (np.arange(w, dtype=np.float64) + 0.5) / w
     v = (np.arange(h, dtype=np.float64) + 0.5) / h
@@ -231,7 +465,7 @@ def render_depth(cam: PinholeCamera, scene: SphereScene) -> np.ndarray:
     return np.where(np.isfinite(best_z), best_z, 0.0).astype(np.float32)
 
 
-def render_color(cam: PinholeCamera, scene: SphereScene) -> np.ndarray:
+def render_color(cam, scene: SphereScene) -> np.ndarray:
     """Analytic color image f32[H, W, 3] in [0, 1]: sphere base color shaded
     by a fixed directional light; a grey gradient background elsewhere."""
     h, w = cam.height, cam.width
@@ -255,11 +489,14 @@ def render_color(cam: PinholeCamera, scene: SphereScene) -> np.ndarray:
     return np.where((depth > 0)[..., None], color, bg).astype(np.float32)
 
 
-def render_frames(cams: Sequence[PinholeCamera], scene: SphereScene):
+def render_frames(cams: Sequence, scene: SphereScene, color_cams=None):
     """Stacked per-sensor frames: depth f32[K, H, W] (meters), color
-    f32[K, H, W, 3] in [0, 1]."""
+    f32[K, H, W, 3] in [0, 1]. ``color_cams``: render color from the rgb
+    cameras when they differ from the depth cameras (distorted rigs)."""
     depth = np.stack([render_depth(c, scene) for c in cams])
-    color = np.stack([render_color(c, scene) for c in cams])
+    color = np.stack(
+        [render_color(c, scene) for c in (color_cams or cams)]
+    )
     return depth, color
 
 
