@@ -54,10 +54,24 @@ class AffineTables(NamedTuple):
     in-brick voxel index - 7.5).
     An all-invalid (sensor, brick) stores the constant u = -1 row so the
     kernel's u < 0 gate skips it. max_err f32[3]: bake-time max residual vs
-    the exact table over valid voxels, per channel (u, v, d)."""
+    the exact table, per channel (u, v, d), measured over CLEAN interior
+    voxels only — table-valid voxels inside the edge-clamped half-texel
+    shell and adjacent to frustum cliffs are excluded from the fit (their
+    table values mix the -1 invalid marker) and so integrate with
+    extrapolated values whose deviation this bound does not cover; callers
+    gating on max_err (pipeline affine_tol) get a bound over the brick
+    interiors, not the frustum boundary shell (see edge_err for the shell
+    diagnostic)."""
 
     coeffs: jnp.ndarray
     max_err: jnp.ndarray
+    edge_err: jnp.ndarray  # f32[3]: max |fit - table| over table-valid
+                           # voxels EXCLUDED from the fit (half-texel
+                           # clamp shell + cliff-adjacent) — the
+                           # extrapolation-zone counterpart of max_err.
+                           # Informational: the table itself blends the
+                           # -1 invalid marker there, so neither value
+                           # is the calibration ground truth.
     n_cliff: jnp.ndarray   # i32[]: table-valid voxels excluded as
                            # cliff-corrupted (fit quality diagnostics)
 
@@ -167,11 +181,21 @@ def _fit_slab(src: jnp.ndarray, wd_slab: jnp.ndarray, wh: jnp.ndarray,
                   jnp.abs(pred - f), 0.0),
         axis=(0, 1, 2),
     )                                             # [3]
+    # extrapolation-zone residual: table-valid voxels excluded from the fit
+    # (clamp shell + cliff-adjacent) integrate with extrapolated values;
+    # report their deviation separately so affine_tol callers know max_err's
+    # domain (note: the table blends the -1 marker here, so this measures
+    # fit-vs-table disagreement, not fit-vs-calibration error)
+    edge_err = jnp.max(
+        jnp.where((valid & ~clean & ~bad[..., None])[..., None],
+                  jnp.abs(pred - f), 0.0),
+        axis=(0, 1, 2),
+    )
     n_cliff = jnp.sum(valid & ~clean)
     # -> [..., chan, basis] padded to 4 channels
     cm = jnp.transpose(c, (0, 1, 3, 2))
     cm = jnp.pad(cm, ((0, 0), (0, 0), (0, 1), (0, 0)))
-    return cm, err, n_cliff
+    return cm, err, edge_err, n_cliff
 
 
 def bake_affine(rig: RigCalibration, cfg: TsdfConfig) -> AffineTables:
@@ -197,21 +221,24 @@ def bake_affine(rig: RigCalibration, cfg: TsdfConfig) -> AffineTables:
     iyx = iyx.transpose(0, 2, 1, 3).reshape(nby * nbx, BRICK * BRICK)
 
     fit = jax.jit(_fit_slab)
-    coeffs, errs, cliffs = [], [], []
+    coeffs, errs, eerrs, cliffs = [], [], [], []
     for bz in range(nbz):
         izb = iz[bz * BRICK:(bz + 1) * BRICK]     # [16]
         interior = (izb[None, :, None] & iyx[:, None, :]).reshape(
             nby * nbx, B3
         )
-        cm, err, ncl = fit(src, wd[bz * BRICK:(bz + 1) * BRICK], wh, ww,
-                           basis, jnp.asarray(interior))
+        cm, err, eerr, ncl = fit(src, wd[bz * BRICK:(bz + 1) * BRICK], wh,
+                                 ww, basis, jnp.asarray(interior))
         coeffs.append(cm)
         errs.append(err)
+        eerrs.append(eerr)
         cliffs.append(ncl)
     coeffs = jnp.concatenate(coeffs, axis=1)      # [K, NB, 4, 4]
     max_err = jnp.max(jnp.stack(errs), axis=0)
+    edge_err = jnp.max(jnp.stack(eerrs), axis=0)
     n_cliff = jnp.sum(jnp.stack(cliffs))
-    return AffineTables(coeffs=coeffs, max_err=max_err, n_cliff=n_cliff)
+    return AffineTables(coeffs=coeffs, max_err=max_err, edge_err=edge_err,
+                        n_cliff=n_cliff)
 
 
 def expand_affine(tables: AffineTables) -> IntegrationTables:
