@@ -1,0 +1,353 @@
+"""Persistent TSDF integration emitting the DENSE volume directly.
+
+Round 3's persistent kernel (ops/tsdf_persist.py) writes one block-major
+[32, 128] block per occupied brick; a full-volume XLA transpose then
+assembles the dense volume — a pure relayout measured at 11.6 ms/frame at
+256^3 (the x-interleave of 16-voxel bricks forces 64-byte minor runs at
+~35 GB/s, docs/PERF.md). A DMA cannot perform that interleave either:
+Mosaic memrefs carry (1, 128) lane tiling even in HBM, so any sub-128
+minor-dim slice is rejected — there is no copy-only escape.
+
+This kernel dissolves the relayout into the compute, where the brick's
+values are still in registers:
+
+  * bricks are processed in ascending index order (the occupied list is
+    sorted), so bricks of one X-ROW — 8 consecutive x-bricks = 128 voxels
+    = one full lane tile — are adjacent in the loop;
+  * per brick, the fused [4096]-voxel result (native (32, 128) layout,
+    rows (lz*16+ly)//8, lanes (ly%8)*16+lx) is re-laid to dense row order
+    with ONE row-expand matmul (U[r] = V[r//8], a 0/1 matmul — exact) and
+    ONE strided lane roll (pltpu.roll stride=112: lane rotation by
+    (bxi - r%8)*16 per row — verified element-exact), then masked into a
+    VMEM row buffer [16, 16, 128] = the brick-row's dense [z, y, x] region;
+  * when the brick index leaves the row, the buffer is flushed with ONE
+    fully lane-aligned DMA into the dense output at
+    [z0:z0+16, y0:y0+16, xg] — 512-byte minor runs, and only occupied
+    rows are written at all;
+  * the dense outputs are input_output-aliased pre-cleared buffers
+    (~0.25 ms HBM fill), the reference's per-frame clear
+    (recon_integration.cpp:249-250); untouched rows keep the clear.
+
+Color is emitted CHANNEL-MAJOR ([4, Vz, Vy, Vx] bf16): the per-channel
+row buffers are separate lane tiles, and the sweep renderer consumes the
+channel-leading form natively (it resamples density and color jointly).
+
+Everything else — window/coefficient double-buffered DMA, the quadratic
+warp, the fusion math (shared ``fuse_chunk``) — is identical to
+tsdf_persist.py. Requires Vx % 128 == 0 (an x-row must be a whole number
+of lane tiles); the pipeline falls back to the block-major kernel + XLA
+assembly otherwise.
+
+Reference math: tsdf_integration.vs:23-59, recon_integration.cpp:242-269.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tsdf import TsdfConfig
+from .tsdf_fast import BRICK, occupied_list, pack_frames
+from .tsdf_affine import AffineTables, NBASIS, _brick_basis, win_offsets_affine
+from .tsdf_pallas import B3, WY, WX, XSTRIDE, expand_xblocks
+from .tsdf_persist import NB_PAD, fuse_chunk
+
+XROW = 8          # bricks per x-row (8 * 16 voxels = one 128-lane tile)
+
+
+def _kernel(
+    # scalar prefetch
+    count_ref,    # i32[1]    occupied-brick count
+    sel_ref,      # i32[MB]   brick index (into NB) per occupied slot
+    offs_ref,     # i32[MB*K] packed window origin (y8 << 16 | xblock)
+    # inputs
+    cmat_ref,     # HBM f32[MB, NB_PAD, 128] per-slot warp coeffs
+    basis_ref,    # VMEM f32[NB_PAD, B3]
+    corner_ref,   # VMEM f32[K, 8]
+    packed_ref,   # HBM  f32[K, NXB, 6, H, WX]
+    in_v_ref,     # HBM f32[Vz, Vy, NXG, 128]  pre-cleared, aliased
+    in_c_ref,     # HBM bf16[4, Vz, Vy, NXG, 128]
+    # outputs (the aliased dense buffers)
+    dst_v_ref,
+    dst_c_ref,
+    # scratch
+    wnd_ref,      # VMEM f32[2, K, 6, WY, WX]
+    cmbuf_ref,    # VMEM f32[2, NB_PAD, 128]
+    rowv_ref,     # VMEM f32[2, 16, 16, 128]   row accumulation (double buf)
+    rowc_ref,     # VMEM bf16[2, 4, 16, 16, 128]
+    win_sems,     # DMA (2, K)
+    cm_sems,      # DMA (2,)
+    row_sems,     # DMA (2, 2)
+    *, num_k: int, h: int, w: int, limit: float, nby: int, nxg: int,
+):
+    del in_v_ref, in_c_ref
+    count = count_ref[0]
+
+    def win_dma(b, slot, k):
+        po = offs_ref[b * num_k + k]
+        return pltpu.make_async_copy(
+            packed_ref.at[k, po & 0xFFFF, :, pl.ds(po >> 16, WY), :],
+            wnd_ref.at[slot, k],
+            win_sems.at[slot, k],
+        )
+
+    def cm_dma(b, slot):
+        return pltpu.make_async_copy(
+            cmat_ref.at[b], cmbuf_ref.at[slot], cm_sems.at[slot]
+        )
+
+    def row_of(b):
+        return sel_ref[b] // XROW
+
+    def flush_row(row, rslot):
+        """Start the dense-region DMAs for a completed row buffer.
+
+        The destination lane offset must be STATIC (Mosaic requires
+        128-aligned static minor-dim slices; a dynamic xg-indexed dim
+        would make (nxg, 128) the tiled pair and reject the sub-tile
+        slice), so the small nxg is unrolled into predicated branches."""
+        xg = jax.lax.rem(row, nxg)
+        t = jax.lax.div(row, nxg)
+        y0 = jax.lax.rem(t, nby) * BRICK
+        z0 = jax.lax.div(t, nby) * BRICK
+        for g in range(nxg):
+            @pl.when(xg == g)
+            def _start():
+                pltpu.make_async_copy(
+                    rowv_ref.at[rslot],
+                    dst_v_ref.at[
+                        pl.ds(z0, BRICK), pl.ds(y0, BRICK),
+                        pl.ds(g * 128, 128),
+                    ],
+                    row_sems.at[rslot, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    rowc_ref.at[rslot],
+                    dst_c_ref.at[
+                        :, pl.ds(z0, BRICK), pl.ds(y0, BRICK),
+                        pl.ds(g * 128, 128),
+                    ],
+                    row_sems.at[rslot, 1],
+                ).start()
+
+    def wait_row(rslot):
+        pltpu.make_async_copy(
+            rowv_ref.at[rslot], rowv_ref.at[rslot], row_sems.at[rslot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            rowc_ref.at[rslot], rowc_ref.at[rslot], row_sems.at[rslot, 1]
+        ).wait()
+
+    @pl.when(count > 0)
+    def _bootstrap():
+        cm_dma(0, 0).start()
+        for k in range(num_k):
+            win_dma(0, 0, k).start()
+
+    # loop-invariant relayout constants (hoisted by the compiler)
+    VROWS = B3 // 128           # 32: rows of the value's native layout
+    DROWS = B3 // BRICK         # 256: dense rows (lz*16 + ly)
+    rexp = (
+        jax.lax.broadcasted_iota(jnp.int32, (DROWS, VROWS), 0) // XROW
+        == jax.lax.broadcasted_iota(jnp.int32, (DROWS, VROWS), 1)
+    )
+    rexp16 = rexp.astype(jnp.bfloat16)   # 0/1 — exact row-select matmul
+    rexp32 = rexp.astype(jnp.float32)
+    lane16 = jax.lax.broadcasted_iota(
+        jnp.int32, (BRICK, BRICK, 128), 2
+    ) // BRICK                            # [16, 16, 128]: lane -> x-brick
+
+    def body(b, carry):
+        rslot, nflush = carry
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < count)
+        def _prefetch():
+            nslot = jax.lax.rem(b + 1, 2)
+            cm_dma(b + 1, nslot).start()
+            for k in range(num_k):
+                win_dma(b + 1, nslot, k).start()
+
+        # row management: flush on row change, rotate + clear the buffer
+        prev_b = jnp.maximum(b - 1, 0)
+        is_new = (b == 0) | (row_of(b) != row_of(prev_b))
+
+        @pl.when(is_new & (b > 0))
+        def _flush_prev():
+            flush_row(row_of(prev_b), rslot)
+
+        rslot = jnp.where(is_new & (b > 0), 1 - rslot, rslot)
+        nflush = nflush + jnp.where(is_new & (b > 0), 1, 0)
+
+        @pl.when(is_new & (nflush >= 2))
+        def _wait_reuse():
+            wait_row(rslot)
+
+        @pl.when(is_new)
+        def _clear_row():
+            rowv_ref[rslot] = jnp.full(
+                (BRICK, BRICK, 128), -limit, jnp.float32
+            )
+            rowc_ref[rslot] = jnp.zeros(
+                (4, BRICK, BRICK, 128), jnp.bfloat16
+            )
+
+        cm_dma(b, slot).wait()
+        for k in range(num_k):
+            win_dma(b, slot, k).wait()
+
+        po_b = [offs_ref[b * num_k + k] for k in range(num_k)]
+        cm_t = cmbuf_ref[slot][:, : num_k * 4]
+        pc_all = jax.lax.dot_general(
+            cm_t, basis_ref[...],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                     # [K*4, B3]
+        wt, rgb_out, flag = fuse_chunk(
+            pc_all, lambda k: wnd_ref[slot, k], po_b, corner_ref,
+            num_k=num_k, h=h, w=w, limit=limit,
+        )
+
+        # relayout (32, 128) -> dense row order and place at the brick's
+        # lane group: rows r = lz*16+ly via the row-expand matmul (0/1
+        # selection — HIGHEST precision makes the f32 pass bit-exact; the
+        # default single bf16 pass measured 6e-5 TSDF deviation), lanes
+        # bxi*16+lx via the strided roll (rotation (bxi - r%8)*16 per row)
+        bxi = jax.lax.rem(sel_ref[b], XROW)
+        keep = lane16 == bxi
+
+        V = wt.reshape(VROWS, 128)
+        U = jnp.dot(rexp32, V, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        W = pltpu.roll(U, bxi * BRICK, 1, stride=112, stride_axis=0)
+        rowv_ref[rslot] = jnp.where(
+            keep, W.reshape(BRICK, BRICK, 128), rowv_ref[rslot]
+        )
+
+        call = jnp.concatenate([rgb_out, flag[None, :]], axis=0)  # [4, B3]
+        for c in range(4):
+            Vc = call[c].reshape(VROWS, 128).astype(jnp.bfloat16)
+            # bf16 operands with f32 acc: the selection product is exact
+            Uc = jnp.dot(rexp16, Vc, preferred_element_type=jnp.float32)
+            Wc = pltpu.roll(Uc, bxi * BRICK, 1, stride=112, stride_axis=0)
+            rowc_ref[rslot, c] = jnp.where(
+                keep, Wc.reshape(BRICK, BRICK, 128).astype(jnp.bfloat16),
+                rowc_ref[rslot, c]
+            )
+
+        return (rslot, nflush)
+
+    rslot, nflush = jax.lax.fori_loop(0, count, body, (jnp.int32(0), jnp.int32(0)))
+
+    # flush the final row, then drain the last two flushes
+    @pl.when(count > 0)
+    def _flush_last():
+        flush_row(row_of(count - 1), rslot)
+
+    nflush = nflush + jnp.where(count > 0, 1, 0)
+
+    @pl.when(nflush >= 2)
+    def _drain_m2():
+        wait_row(1 - rslot)
+
+    @pl.when(nflush >= 1)
+    def _drain_m1():
+        wait_row(rslot)
+
+
+def integrate_dense_pallas(
+    frames,
+    affine: AffineTables,
+    cfg: TsdfConfig,
+    mask16: jnp.ndarray,
+    max_bricks: int = 1024,
+    win_off: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
+    """Brick-sparse fused TSDF + color, dense outputs straight from the
+    kernel: (tsdf f32[Vz, Vy, Vx], color bf16[4, Vz, Vy, Vx] CHANNEL-MAJOR).
+    Same fusion math/contract as tsdf_persist.integrate_affine_pallas minus
+    its block->dense assembly; unoccupied voxels hold the clear values
+    (recon_integration.cpp:249-250). Requires cfg.res[0] % 128 == 0."""
+    vx, vy, vz = cfg.res
+    assert vx % 128 == 0, "dense-emit needs whole 128-lane x-rows"
+    nbz, nby, nbx = vz // BRICK, vy // BRICK, vx // BRICK
+    nxg = nbx // XROW
+    nb = nbz * nby * nbx
+    assert affine.coeffs.shape[1] == nb, (affine.coeffs.shape, cfg.res)
+    packed = pack_frames(frames)                 # [K, H, W, 6]
+    num_k, h, w, _ = packed.shape
+    packed_cf = jnp.transpose(packed, (0, 3, 1, 2))
+    packed_xb = expand_xblocks(packed_cf)        # [K, NXB, 6, H, WX]
+    corner = jnp.pad(packed[:, 0, 0, :], ((0, 0), (0, 2)))  # [K, 8]
+
+    idx_list, valid_list = occupied_list(mask16, max_bricks)
+    count = jnp.sum(valid_list.astype(jnp.int32))[None]     # i32[1]
+    if win_off is None:
+        win_off = win_offsets_affine(affine, h, w, WY, WX, XSTRIDE)
+    offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
+    offs = (offs3[..., 0] << 16 | offs3[..., 1]).reshape(-1)
+
+    cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
+    cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
+    cmats = jnp.pad(
+        cmats, ((0, 0), (0, NB_PAD - NBASIS), (0, 128 - num_k * 4))
+    )
+    basis = jnp.pad(jnp.asarray(_brick_basis()), ((0, NB_PAD - NBASIS), (0, 0)))
+    sel = idx_list.astype(jnp.int32)
+
+    # dense-shaped outputs: (vy, vx) is the tiled pair, so the flush DMAs
+    # slice z (untiled, dynamic), y (sublane, dynamic 16-aligned — same as
+    # the window DMAs) and x (lane, static 128-aligned)
+    clear_v = jnp.full((vz, vy, vx), -float(cfg.limit), jnp.float32)
+    clear_c = jnp.zeros((4, vz, vy, vx), jnp.bfloat16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # count, sel, offs
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),    # cmats (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # basis
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # corner
+            pl.BlockSpec(memory_space=pltpu.ANY),    # packed_xb (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # clear_v (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # clear_c (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, num_k, 6, WY, WX), jnp.float32),
+            pltpu.VMEM((2, NB_PAD, 128), jnp.float32),
+            pltpu.VMEM((2, BRICK, BRICK, 128), jnp.float32),
+            pltpu.VMEM((2, 4, BRICK, BRICK, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, num_k)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
+        nby=nby, nxg=nxg,
+    )
+
+    vol, cvol = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((vz, vy, vx), jnp.float32),
+            jax.ShapeDtypeStruct((4, vz, vy, vx), jnp.bfloat16),
+        ],
+        # operand numbering includes the 3 scalar-prefetch args
+        input_output_aliases={7: 0, 8: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(count, sel, offs, cmats, basis, corner, packed_xb, clear_v, clear_c)
+
+    return vol, cvol

@@ -56,6 +56,123 @@ from .tsdf_pallas import (
 
 NB_PAD = 16   # basis rows padded to a sublane tile
 
+def fuse_chunk(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit):
+    """Per-chunk multi-sensor TSDF + color fusion (tsdf_integration.vs:23-59,
+    tsdf_raymarch.fs:295-320) on warped coords ``pc_all`` [K*4, HB].
+
+    ``wnd_k(k)`` -> f32[6, WY, WX] sensor window; ``po_b[k]`` packed window
+    origin. Returns (wt f32[HB], rgb_out f32[3, HB], flag f32[HB]). Shared
+    by the block-major kernel below and the dense-emit kernel
+    (ops/tsdf_dense.py) so the fusion math exists exactly once."""
+    hb = pc_all.shape[1]
+    wt = jnp.full((hb,), limit, jnp.float32)
+    tw = jnp.zeros((hb,), jnp.float32)
+    tc = jnp.zeros((3, hb), jnp.float32)
+    tcw = jnp.zeros((hb,), jnp.float32)
+    tc2 = jnp.zeros((3, hb), jnp.float32)
+    tcw2 = jnp.zeros((hb,), jnp.float32)
+
+    for k in range(num_k):
+        u = pc_all[4 * k + 0]
+        v = pc_all[4 * k + 1]
+        d_vox = pc_all[4 * k + 2]
+        # analytic frustum gate: outside the (u, v, d) unit box
+        invalid = (
+            (u < 0.0) | (u > 1.0) | (v < 0.0) | (v > 1.0)
+            | (d_vox < 0.0) | (d_vox > 1.0)
+        )
+        y_lo = po_b[k] >> 16
+        x_lo = (po_b[k] & 0xFFFF) * XSTRIDE
+        ux_l = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
+        vy_l = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+        ux_n = jnp.clip(jnp.floor(u * w), 0.0, w - 1.0).astype(jnp.int32)
+        vy_n = jnp.clip(jnp.floor(v * h), 0.0, h - 1.0).astype(jnp.int32)
+        ux_l = jnp.clip(ux_l - x_lo.astype(jnp.float32), 0.0, WX - 1.0)
+        vy_l = jnp.clip(vy_l - y_lo.astype(jnp.float32), 0.0, WY - 1.0)
+        ux_n = jnp.clip(ux_n - x_lo, 0, WX - 1)
+        vy_n = jnp.clip(vy_n - y_lo, 0, WY - 1)
+
+        rows_l = _hat2d(vy_l[:, None], WY)        # [HB, WY]
+        rows_n = _onehot2d(vy_n[:, None], WY)
+        cols_l = _hat2d(ux_l[:, None], WX)        # [HB, WX]
+        cols_n = _onehot2d(ux_n[:, None], WX)
+
+        # rows-first contraction. A cols-first variant (full
+        # 128-lane K on the MXU + smaller y-reductions) measured
+        # 54 ms vs this form's 33 at 256^3: the per-brick-sensor
+        # [7*WY, WX] window transposes it needs cost more than the
+        # MXU utilization gain buys.
+        bf16 = jnp.bfloat16
+        rows_l16 = rows_l.astype(bf16)
+        rows_n16 = rows_n.astype(bf16)            # 0/1 — exact in bf16
+        wnd = wnd_k(k)                            # [6, WY, WX]
+        d = wnd[0]
+        d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
+        d_lo = d - d_hi
+        dd = jnp.concatenate([d_hi, d_lo], axis=1).astype(bf16)
+        nt = jnp.dot(rows_n16, dd, preferred_element_type=jnp.float32)
+
+        qrgb = jnp.concatenate(
+            [wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]], axis=1
+        ).astype(bf16)
+        lin = jnp.dot(rows_l16, qrgb, preferred_element_type=jnp.float32)
+        # x contraction stays a VPU lane-reduce (f32 exact). A
+        # bf16 ones-matvec variant measured only 1.3 ms faster
+        # while its product cast cost hat-channel exactness
+        # (0.5% of voxels moved >1e-4) — rejected.
+        depth = jnp.sum((nt[:, :WX] + nt[:, WX:]) * cols_n, axis=1)
+        sil = jnp.sum(lin[:, 0 * WX:1 * WX] * cols_l, axis=1)
+        qual = jnp.sum(lin[:, 1 * WX:2 * WX] * cols_l, axis=1)
+        r_ = jnp.sum(lin[:, 2 * WX:3 * WX] * cols_l, axis=1)
+        g_ = jnp.sum(lin[:, 3 * WX:4 * WX] * cols_l, axis=1)
+        b_ = jnp.sum(lin[:, 4 * WX:5 * WX] * cols_l, axis=1)
+
+        cv = corner_ref[k]
+        depth = jnp.where(invalid, cv[0], depth)
+        qual = jnp.where(invalid, cv[1], qual)
+        sil = jnp.where(invalid, cv[2], sil)
+        r_ = jnp.where(invalid, cv[3], r_)
+        g_ = jnp.where(invalid, cv[4], g_)
+        b_ = jnp.where(invalid, cv[5], b_)
+
+        # TSDF update (tsdf_integration.vs:33-54)
+        sdist = d_vox - depth
+        skip = (sil < SIL_PL) & (wt >= limit)
+        in_front = sdist <= -limit
+        in_band = (sdist > -limit) & (sdist < limit)
+        new_tw = tw + qual
+        accum = jnp.where(
+            new_tw > 0.0,
+            (wt * tw + qual * sdist) / jnp.where(new_tw > 0.0, new_tw, 1.0),
+            wt,
+        )
+        wt_next = jnp.where(in_front, -limit, jnp.where(in_band, accum, wt))
+        tw_next = jnp.where(in_band & (new_tw > 0.0), new_tw, tw)
+        wt = jnp.where(skip, -limit, wt_next)
+        tw = jnp.where(skip, tw, tw_next)
+
+        # color blend terms (tsdf_raymarch.fs:295-320)
+        dist = jnp.abs(depth - d_vox)
+        q_c = jnp.where(dist < limit, qual, 0.0)
+        w_c = q_c / (dist + 0.01)
+        rgb = jnp.stack([r_, g_, b_])
+        tc = tc + rgb * w_c[None, :]
+        tcw = tcw + w_c
+        w2 = 1.0 / jnp.maximum(dist, 1e-9)
+        tc2 = tc2 + rgb * w2[None, :]
+        tcw2 = tcw2 + w2
+
+    hasq = tcw > 0.0
+    rgb_out = jnp.where(
+        hasq[None, :],
+        tc / jnp.maximum(tcw, 1e-20)[None, :],
+        tc2 / jnp.maximum(tcw2, 1e-20)[None, :],
+    )
+    flag = jnp.where(hasq, 1.0, -1.0)
+    return wt, rgb_out, flag
+
+
+
 
 def _kernel(
     # scalar prefetch
@@ -156,112 +273,10 @@ def _kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )                                     # [K*4, HB]
-            # fusion state for this chunk, in registers across sensors
-            wt = jnp.full((HB,), limit, jnp.float32)
-            tw = jnp.zeros((HB,), jnp.float32)
-            tc = jnp.zeros((3, HB), jnp.float32)
-            tcw = jnp.zeros((HB,), jnp.float32)
-            tc2 = jnp.zeros((3, HB), jnp.float32)
-            tcw2 = jnp.zeros((HB,), jnp.float32)
-
-            for k in range(num_k):
-                u = pc_all[4 * k + 0]
-                v = pc_all[4 * k + 1]
-                d_vox = pc_all[4 * k + 2]
-                # analytic frustum gate: outside the (u, v, d) unit box
-                invalid = (
-                    (u < 0.0) | (u > 1.0) | (v < 0.0) | (v > 1.0)
-                    | (d_vox < 0.0) | (d_vox > 1.0)
-                )
-                y_lo = po_b[k] >> 16
-                x_lo = (po_b[k] & 0xFFFF) * XSTRIDE
-                ux_l = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
-                vy_l = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
-                ux_n = jnp.clip(jnp.floor(u * w), 0.0, w - 1.0).astype(jnp.int32)
-                vy_n = jnp.clip(jnp.floor(v * h), 0.0, h - 1.0).astype(jnp.int32)
-                ux_l = jnp.clip(ux_l - x_lo.astype(jnp.float32), 0.0, WX - 1.0)
-                vy_l = jnp.clip(vy_l - y_lo.astype(jnp.float32), 0.0, WY - 1.0)
-                ux_n = jnp.clip(ux_n - x_lo, 0, WX - 1)
-                vy_n = jnp.clip(vy_n - y_lo, 0, WY - 1)
-
-                rows_l = _hat2d(vy_l[:, None], WY)        # [HB, WY]
-                rows_n = _onehot2d(vy_n[:, None], WY)
-                cols_l = _hat2d(ux_l[:, None], WX)        # [HB, WX]
-                cols_n = _onehot2d(ux_n[:, None], WX)
-
-                # rows-first contraction. A cols-first variant (full
-                # 128-lane K on the MXU + smaller y-reductions) measured
-                # 54 ms vs this form's 33 at 256^3: the per-brick-sensor
-                # [7*WY, WX] window transposes it needs cost more than the
-                # MXU utilization gain buys.
-                bf16 = jnp.bfloat16
-                rows_l16 = rows_l.astype(bf16)
-                rows_n16 = rows_n.astype(bf16)            # 0/1 — exact in bf16
-                wnd = wnd_ref[slot, k]                    # [6, WY, WX]
-                d = wnd[0]
-                d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
-                d_lo = d - d_hi
-                dd = jnp.concatenate([d_hi, d_lo], axis=1).astype(bf16)
-                nt = jnp.dot(rows_n16, dd, preferred_element_type=jnp.float32)
-
-                qrgb = jnp.concatenate(
-                    [wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]], axis=1
-                ).astype(bf16)
-                lin = jnp.dot(rows_l16, qrgb, preferred_element_type=jnp.float32)
-                # x contraction stays a VPU lane-reduce (f32 exact). A
-                # bf16 ones-matvec variant measured only 1.3 ms faster
-                # while its product cast cost hat-channel exactness
-                # (0.5% of voxels moved >1e-4) — rejected.
-                depth = jnp.sum((nt[:, :WX] + nt[:, WX:]) * cols_n, axis=1)
-                sil = jnp.sum(lin[:, 0 * WX:1 * WX] * cols_l, axis=1)
-                qual = jnp.sum(lin[:, 1 * WX:2 * WX] * cols_l, axis=1)
-                r_ = jnp.sum(lin[:, 2 * WX:3 * WX] * cols_l, axis=1)
-                g_ = jnp.sum(lin[:, 3 * WX:4 * WX] * cols_l, axis=1)
-                b_ = jnp.sum(lin[:, 4 * WX:5 * WX] * cols_l, axis=1)
-
-                cv = corner_ref[k]
-                depth = jnp.where(invalid, cv[0], depth)
-                qual = jnp.where(invalid, cv[1], qual)
-                sil = jnp.where(invalid, cv[2], sil)
-                r_ = jnp.where(invalid, cv[3], r_)
-                g_ = jnp.where(invalid, cv[4], g_)
-                b_ = jnp.where(invalid, cv[5], b_)
-
-                # TSDF update (tsdf_integration.vs:33-54)
-                sdist = d_vox - depth
-                skip = (sil < SIL_PL) & (wt >= limit)
-                in_front = sdist <= -limit
-                in_band = (sdist > -limit) & (sdist < limit)
-                new_tw = tw + qual
-                accum = jnp.where(
-                    new_tw > 0.0,
-                    (wt * tw + qual * sdist) / jnp.where(new_tw > 0.0, new_tw, 1.0),
-                    wt,
-                )
-                wt_next = jnp.where(in_front, -limit, jnp.where(in_band, accum, wt))
-                tw_next = jnp.where(in_band & (new_tw > 0.0), new_tw, tw)
-                wt = jnp.where(skip, -limit, wt_next)
-                tw = jnp.where(skip, tw, tw_next)
-
-                # color blend terms (tsdf_raymarch.fs:295-320)
-                dist = jnp.abs(depth - d_vox)
-                q_c = jnp.where(dist < limit, qual, 0.0)
-                w_c = q_c / (dist + 0.01)
-                rgb = jnp.stack([r_, g_, b_])
-                tc = tc + rgb * w_c[None, :]
-                tcw = tcw + w_c
-                w2 = 1.0 / jnp.maximum(dist, 1e-9)
-                tc2 = tc2 + rgb * w2[None, :]
-                tcw2 = tcw2 + w2
-
-            # finalize chunk -> output block halves
-            hasq = tcw > 0.0
-            rgb_out = jnp.where(
-                hasq[None, :],
-                tc / jnp.maximum(tcw, 1e-20)[None, :],
-                tc2 / jnp.maximum(tcw2, 1e-20)[None, :],
+            wt, rgb_out, flag = fuse_chunk(
+                pc_all, lambda k: wnd_ref[slot, k], po_b, corner_ref,
+                num_k=num_k, h=h, w=w, limit=limit,
             )
-            flag = jnp.where(hasq, 1.0, -1.0)
             hrows = HB // 128
             vblk_ref[slot, pl.ds(ch * hrows, hrows), :] = wt.reshape(hrows, 128)
             cblk_ref[slot, :, pl.ds(ch * hrows, hrows), :] = jnp.concatenate(

@@ -69,7 +69,13 @@ class PipelineConfig(NamedTuple):
     # fast (MXU-structured) integration + sweep renderer (ops/tsdf_fast.py,
     # ops/raymarch_fast.py); requires a 16-aligned volume res
     fast_path: bool = True
-    max_bricks: int = 1024        # occupied-brick capacity of the fast path
+    # occupied-brick capacity of the fast path. None = auto-sized from the
+    # volume: min(nb, max(1024, nb // 4)) 16^3 blocks — ≥25% occupancy
+    # headroom vs the reference's typical 3-5.5% (inc_bricks.glsl:51-56).
+    # Exceeding the capacity is DETECTED (FrameOutput.occupied_bricks vs
+    # FramePipeline.max_bricks; the app's watchdog raises) — never a silent
+    # geometry drop.
+    max_bricks: int | None = None
     sample_window: int = 64       # image window per brick (px)
     sweep_res: tuple[int, int] | None = None  # intermediate sweep grid
                                   # (None = derived from the render size)
@@ -101,6 +107,11 @@ class FrameOutput(NamedTuple):
     tsdf: jnp.ndarray           # f32[Vz, Vy, Vx]
     occupied_ratio: jnp.ndarray  # f32[] (≙ ReconIntegration::occupiedRatio)
     num_samples: jnp.ndarray    # i32[H, W] raymarch cost image
+    occupied_bricks: jnp.ndarray  # i32[] occupied 16^3 blocks this frame —
+                                  # compare against FramePipeline.max_bricks
+                                  # (the reference reads exact counts back
+                                  # every frame, recon_integration.cpp:
+                                  # 430-445); 0 on the non-fast path
 
 
 # reference timer names this pipeline can account for (BASELINE.md contract)
@@ -159,6 +170,14 @@ class FramePipeline:
             and vx % tsdf_fast.BRICK == 0 and vy % tsdf_fast.BRICK == 0
             and vz % tsdf_fast.BRICK == 0
         )
+        nb_total = (
+            (vx // tsdf_fast.BRICK) * (vy // tsdf_fast.BRICK)
+            * (vz // tsdf_fast.BRICK)
+        ) if self.use_fast else 0
+        if cfg.max_bricks is not None:
+            self.max_bricks = min(cfg.max_bricks, nb_total) if nb_total else cfg.max_bricks
+        else:
+            self.max_bricks = min(nb_total, max(1024, nb_total // 4)) if nb_total else 0
         if not keep_warp_bake:
             self.affine = None
             self.tables = None
@@ -188,6 +207,13 @@ class FramePipeline:
                 self.tables = tsdf_fast.tables_cached(
                     rig, self.tsdf_cfg, cache_dir=table_cache_dir
                 )
+
+        # dense-emit persistent kernel: requires whole 128-lane x-rows and
+        # the affine (persistent-kernel) path; falls back to block-major +
+        # XLA assembly otherwise
+        self._dense_emit = bool(
+            self.use_fast and self._use_affine and vx % 128 == 0
+        )
 
         # Big calibration data (rig volumes, warp images, baked tables) is
         # passed as jit ARGUMENTS, never closed over: closure constants get
@@ -337,7 +363,12 @@ class FramePipeline:
                 vox_mask = brick_ops.voxel_occupancy(
                     mask, self.brick_grid, self.tsdf_cfg.res
                 )
-        return frames, mask, vox_mask, mask16, occupied
+        # exact occupied-16^3-block count (the capacity unit of the fast
+        # path) — surfaced so capacity overflow is detectable, like the
+        # reference's per-frame count readback (recon_integration.cpp:430-445)
+        n_occ = (jnp.sum(mask16.astype(jnp.int32)) if mask16 is not None
+                 else jnp.int32(0))
+        return frames, mask, vox_mask, mask16, occupied, n_occ
 
     def _use_pallas(self) -> bool:
         if self.cfg.use_pallas is not None:
@@ -351,17 +382,28 @@ class FramePipeline:
         """2integrate (fast path): brick-sparse fused TSDF + color volumes.
         ``tables`` is AffineTables (persistent kernel), or IntegrationTables
         (grid kernel / XLA path)."""
-        cfg = self.cfg
         vx, vy, vz = self.tsdf_cfg.res
         total_bricks = (vx // tsdf_fast.BRICK) * (vy // tsdf_fast.BRICK) * (
             vz // tsdf_fast.BRICK
         )
         if self._use_affine:
+            if self._dense_emit:
+                # dense-emit persistent kernel: the volume leaves the kernel
+                # already in the sweep renderer's layout (color CHANNEL-
+                # MAJOR bf16) — no block->dense assembly pass (11.6 ms of
+                # pure relayout at 256^3, docs/PERF.md)
+                from ..ops.tsdf_dense import integrate_dense_pallas
+
+                return integrate_dense_pallas(
+                    frames, tables, self.tsdf_cfg, mask16,
+                    max_bricks=min(self.max_bricks, total_bricks),
+                    win_off=win_off,
+                )
             from ..ops.tsdf_persist import integrate_affine_pallas
 
             return integrate_affine_pallas(
                 frames, tables, self.tsdf_cfg, mask16,
-                max_bricks=min(cfg.max_bricks, total_bricks),
+                max_bricks=min(self.max_bricks, total_bricks),
                 win_off=win_off,
             )
         if self._use_pallas():
@@ -369,14 +411,14 @@ class FramePipeline:
 
             return integrate_sparse_pallas(
                 frames, tables, self.tsdf_cfg, mask16,
-                max_bricks=min(cfg.max_bricks, total_bricks),
+                max_bricks=min(self.max_bricks, total_bricks),
                 win_off=win_off,
                 tables_kernel=tables_kernel,
             )
         return tsdf_fast.integrate_sparse(
             frames, tables, self.tsdf_cfg, mask16,
-            max_bricks=min(cfg.max_bricks, total_bricks),
-            window=cfg.sample_window,
+            max_bricks=min(self.max_bricks, total_bricks),
+            window=self.cfg.sample_window,
             win_off=win_off,
         )
 
@@ -438,6 +480,7 @@ class FramePipeline:
             rm.RenderParams(shade_mode=cfg.shade_mode),
             cfg=rmf.SweepConfig(res=self._sweep_res()),
             slab_occupied=occ_slices,
+            channel_major=self._dense_emit,
         )
 
     def _fill_impl(self, color, depth):
@@ -459,7 +502,7 @@ class FramePipeline:
             rig = self.rig
         if tables is None:
             tables = self._warp_data()
-        frames, mask, vox_mask, mask16, occupied = self._pre_impl(
+        frames, mask, vox_mask, mask16, occupied, n_occ = self._pre_impl(
             depth_m, color, rig, warp
         )
         if self.use_fast:
@@ -495,9 +538,25 @@ class FramePipeline:
             tsdf=vol,
             occupied_ratio=occupied,
             num_samples=out.num_samples,
+            occupied_bricks=n_occ,
         )
 
     # -- public API --------------------------------------------------------
+
+    def check_capacity(self, out: FrameOutput) -> int:
+        """Raise if the frame's occupied-brick count exceeded the fast
+        path's capacity (geometry would have been dropped). Returns the
+        count. ≙ the reference reading exact brick counts back every frame
+        (recon_integration.cpp:430-445); here the count rides the normal
+        output pytree, so this is the only host sync it costs."""
+        n = int(np.asarray(out.occupied_bricks))
+        if self.use_fast and n > self.max_bricks:
+            raise RuntimeError(
+                f"occupied bricks {n} exceed max_bricks={self.max_bricks}: "
+                f"geometry dropped — raise PipelineConfig.max_bricks "
+                f"(or leave it None to auto-size)"
+            )
+        return n
 
     def _pick_axis(self, modelview) -> tuple[int, bool]:
         return rmf.pick_axis(
@@ -525,7 +584,7 @@ class FramePipeline:
                 axis, flip, win_off, self._kernel_tables(),
             )
 
-        frames, mask, vox_mask, mask16, occupied = self._pre(
+        frames, mask, vox_mask, mask16, occupied, n_occ = self._pre(
             depth_m, color, self._rig_for_step(warp), warp
         )
         vol, cvol = self._integrate(
@@ -536,6 +595,7 @@ class FramePipeline:
         return FrameOutput(
             color=color_out, depth=out.depth, hit=out.hit, tsdf=vol,
             occupied_ratio=occupied, num_samples=out.num_samples,
+            occupied_bricks=n_occ,
         )
 
     def step_timed(self, depth_m, color, modelview, proj) -> FrameOutput:
@@ -566,7 +626,8 @@ class FramePipeline:
             return out
 
         with db.scope("1preprocess"):
-            frames, mask, vox_mask, mask16, occupied = jax.block_until_ready(
+            (frames, mask, vox_mask, mask16, occupied,
+             n_occ) = jax.block_until_ready(
                 self._pre(depth_m, color, self._rig_for_step(warp), warp)
             )
         with db.scope("2integrate"):
@@ -587,6 +648,7 @@ class FramePipeline:
         return FrameOutput(
             color=color_out, depth=out.depth, hit=out.hit, tsdf=vol,
             occupied_ratio=occupied, num_samples=out.num_samples,
+            occupied_bricks=n_occ,
         )
 
     def warmup(self, depth_m, color, modelview, proj) -> None:
@@ -621,7 +683,7 @@ class FramePipeline:
             self._pre(depth_m, color, self._rig_for_step(warp), warp)
         )
         self._log(f"  1preprocess: {time.time()-t0:.1f}s")
-        frames, mask, vox_mask, mask16, occupied = pre
+        frames, mask, vox_mask, mask16, occupied, n_occ = pre
         t0 = time.time()
         self._log("compiling 2integrate ...")
         vol, cvol = jax.block_until_ready(
