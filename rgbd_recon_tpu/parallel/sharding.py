@@ -108,6 +108,8 @@ def sharded_step(pipe, mesh: Mesh):
             color_out = inpaint.colorfill(pyr_c, pyr_d)
             color_out = constrain(color_out, P("shard", None, None))
 
+        n_occ = (jnp.sum(mask.astype(jnp.int32)) if mask is not None
+                 else jnp.int32(0))
         return FrameOutput(
             color=color_out,
             depth=out.depth,
@@ -115,6 +117,7 @@ def sharded_step(pipe, mesh: Mesh):
             tsdf=vol,
             occupied_ratio=occupied,
             num_samples=out.num_samples,
+            occupied_bricks=n_occ,
         )
 
     repl = NamedSharding(mesh, P())

@@ -42,6 +42,7 @@ def test_dryrun_multichip_contract():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.full
 def test_entry_contract():
     import __graft_entry__ as ge
 
@@ -95,6 +96,87 @@ def test_sharded_step_matches_single_device():
     )
 
 
+@pytest.mark.full
+def test_fast_sharded_matches_single_device():
+    """The PRODUCTION (brick-sparse fast) path over a 4-device mesh must
+    reproduce the single-device fast path: integration is embarrassingly
+    parallel over z-slabs (identical kernels per slab -> bit-exact TSDF) and
+    the windowed sweep + 2-slice halo reconstructs the sequential scan carry
+    exactly (VERDICT r3 #5 / r4 #5)."""
+    from rgbd_recon_tpu.parallel.fast_sharded import fast_sharded_step
+
+    mesh = make_mesh(4)
+    pipe, depth, color, mv, proj = _small_pipe(fast=True, tsdf=(32, 32, 64))
+    assert pipe.use_fast
+    fn = fast_sharded_step(pipe, mesh)
+    args = (jnp.asarray(depth), jnp.asarray(color), jnp.asarray(mv),
+            jnp.asarray(proj))
+    out_sh = fn(*args)
+    jax.block_until_ready(out_sh)
+    out_1 = pipe.step(depth, color, mv, proj)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_sh.tsdf), np.asarray(out_1.tsdf)
+    )
+    assert np.array_equal(np.asarray(out_sh.hit), np.asarray(out_1.hit))
+    np.testing.assert_allclose(
+        np.asarray(out_sh.depth), np.asarray(out_1.depth), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh.color), np.asarray(out_1.color), atol=2e-5
+    )
+    # the TSDF stays z-sharded in place: 1/4 slabs per device
+    shard_shapes = {s.data.shape for s in out_sh.tsdf.addressable_shards}
+    assert shard_shapes == {(16, 32, 32)}, shard_shapes
+
+
+@pytest.mark.full
+def test_fast_sharded_collectives_in_hlo():
+    """The sharded fast path must actually communicate: the windowed sweep's
+    2-slice halo is a collective-permute and the hit-plane composition an
+    all-gather — assert they survive into the compiled HLO."""
+    from rgbd_recon_tpu.parallel.fast_sharded import fast_sharded_step
+
+    mesh = make_mesh(4)
+    pipe, depth, color, mv, proj = _small_pipe(fast=True, tsdf=(32, 32, 64))
+    fn = fast_sharded_step(pipe, mesh)
+    hlo = fn.lower(
+        jnp.asarray(depth), jnp.asarray(color), jnp.asarray(mv),
+        jnp.asarray(proj), axis=2, flip=False,
+    ).compile().as_text()
+    assert "collective-permute" in hlo, "sweep halo exchange missing"
+    assert "all-gather" in hlo, "hit-plane composition gather missing"
+
+
+@pytest.mark.full
+def test_fast_sharded_xy_axis_fallback():
+    """x/y-dominant cameras cut across every z-slab: the sharded fast path
+    all-gathers the volume and sweeps replicated. Check the variant compiles
+    and produces the single-device image."""
+    from rgbd_recon_tpu.parallel.fast_sharded import fast_sharded_step
+
+    mesh = make_mesh(4)
+    pipe, depth, color, mv, proj = _small_pipe(fast=True, tsdf=(32, 32, 64))
+    fn = fast_sharded_step(pipe, mesh)
+    # orbit the camera to the +x side of the volume
+    from rgbd_recon_tpu.utils.math import look_at
+
+    center = (pipe.bbox.min + pipe.bbox.max) * 0.5
+    eye = center + np.array([2.5, 0.3, 0.1], np.float32)
+    mv_x = look_at(eye, center, [0.0, 1.0, 0.0]).astype(np.float32)
+    axis, flip = pipe._pick_axis(mv_x)
+    assert axis == 0, (axis, flip)
+    out_sh = fn(jnp.asarray(depth), jnp.asarray(color), jnp.asarray(mv_x),
+                jnp.asarray(proj))
+    jax.block_until_ready(out_sh)
+    out_1 = pipe.step(depth, color, mv_x, proj)
+    assert np.array_equal(np.asarray(out_sh.hit), np.asarray(out_1.hit))
+    np.testing.assert_allclose(
+        np.asarray(out_sh.color), np.asarray(out_1.color), atol=2e-5
+    )
+
+
+@pytest.mark.full
 def test_replay_batch_dp():
     """Sequence-parallel replay: batch axis sharded over the mesh, fast path
     inside vmap, per-device batch shards 1/n-sized."""

@@ -7,6 +7,10 @@ import subprocess
 import sys
 import time
 
+import pytest
+
+pytestmark = pytest.mark.full  # mesh-compile / multi-process heavy (VERDICT r3 #8)
+
 import numpy as np
 import jax
 import pytest
