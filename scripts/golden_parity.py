@@ -1,0 +1,132 @@
+"""Golden-image render parity at 720p (VERDICT r4 #6).
+
+Renders the bench scene's production TSDF volume through BOTH renderers —
+the reference-faithful per-ray marcher (ops/raymarch.py ≙
+glsl/tsdf_raymarch.fs:62-149, limit/2 ray steps, 3D-tap gradients) and the
+fast sweep compositor (ops/raymarch_fast.py, the deviations documented at
+raymarch_fast.py:25-28) — at 1280x720 from several camera angles, and
+prints a numeric parity table (hit agreement, PSNR, SSIM, window-depth
+error percentiles). Run on the TPU chip:
+
+    python scripts/golden_parity.py [--tsdf 256] [--render 1280x720]
+
+The checked-in results live in docs/GOLDEN.md; tests/test_golden.py runs
+the same comparison at CPU scale with asserted bounds.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tsdf", type=int, default=256)
+    ap.add_argument("--render", default="1280x720")
+    ap.add_argument("--sensors", type=int, default=4)
+    ap.add_argument("--markdown", action="store_true",
+                    help="emit a GOLDEN.md-ready table")
+    args = ap.parse_args()
+    rw, rh = (int(v) for v in args.render.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from rgbd_recon_tpu.utils.math import Bbox, look_at
+    from rgbd_recon_tpu.utils.metrics import render_parity
+    from rgbd_recon_tpu.calibration import synthetic
+    from rgbd_recon_tpu.runtime.pipeline import FramePipeline, PipelineConfig
+    from rgbd_recon_tpu.ops import raymarch as rm
+    from rgbd_recon_tpu.ops import raymarch_fast as rmf
+
+    print(f"# backend {jax.default_backend()}, {args.tsdf}^3, {rw}x{rh}",
+          file=sys.stderr)
+    bbox = Bbox.default()
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=args.sensors, bbox=bbox,
+        fwd_res=(128, 256, 128), inv_res=(128, 128, 128),
+        width=512, height=424,
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+
+    n = args.tsdf
+    pipe = FramePipeline(
+        rig,
+        PipelineConfig(
+            render_width=rw, render_height=rh,
+            tsdf_res=(n, n, n),
+            voxel_size=float(np.max(bbox.size) / n),
+            brick_size=0.1, num_lods=6,
+        ),
+        log=lambda s: print(f"# {s}", file=sys.stderr),
+    )
+    _, proj = pipe.default_camera()
+    # integrate ONCE through the production path; render the same volume
+    # through both renderers
+    warp = pipe._get_warp(depth.shape[1], depth.shape[2])
+    frames, _, _, mask16, _, _ = pipe._pre(
+        jnp.asarray(depth), jnp.asarray(color), pipe._rig_for_step(warp), warp
+    )
+    vol2, cvol = pipe._integrate(
+        frames, mask16, pipe._warp_data(),
+        pipe._get_win_off(depth.shape[1], depth.shape[2]),
+        pipe._kernel_tables(),
+    )
+    # the dense-emit kernel leaves color channel-major; re-derive the
+    # channel-last view for the oracle renderer
+    cvol_last = jnp.moveaxis(cvol, 0, -1) if pipe._dense_emit else cvol
+
+    limit = pipe.tsdf_cfg.limit
+    center = (bbox.min + bbox.max) * 0.5
+    angles = {
+        "front_z": center + np.array([0.15, 0.25, 2.6], np.float32),
+        "oblique": center + np.array([1.4, 0.9, 2.0], np.float32),
+        "side_x": center + np.array([2.5, 0.4, 0.3], np.float32),
+        "top_y": center + np.array([0.3, 2.6, 0.4], np.float32),
+    }
+
+    rows = []
+    for name, eye in angles.items():
+        mv = look_at(eye, center, [0.0, 1.0, 0.0]).astype(np.float32)
+        cam = rm.RenderCamera(jnp.asarray(mv), jnp.asarray(proj), rw, rh)
+        axis, flip = rmf.pick_axis(mv, rm.vol_to_world_matrix(bbox))
+        t0 = time.time()
+        slow = rm.render(vol2, cvol_last, None, rig, cam, bbox, limit)
+        jax.block_until_ready(slow.color)
+        t_slow = time.time() - t0
+        t0 = time.time()
+        fast = rmf.render_fast(
+            vol2, cvol, cam, bbox, limit, axis, flip,
+            cfg=rmf.SweepConfig(res=pipe._sweep_res()),
+            channel_major=pipe._dense_emit,
+        )
+        jax.block_until_ready(fast.color)
+        t_fast = time.time() - t0
+        stats = render_parity(slow, fast)
+        stats.update(view=name, axis=axis, t_slow=t_slow, t_fast=t_fast)
+        rows.append(stats)
+        print(f"# {name}: {stats}", file=sys.stderr)
+
+    if args.markdown:
+        print(f"| view | axis | hit agree | PSNR (dB) | SSIM | depth med | depth p99 | depth max |")
+        print("|---|---|---|---|---|---|---|---|")
+        for r in rows:
+            print(
+                f"| {r['view']} | {r['axis']} | {r['hit_agreement']:.4f} "
+                f"| {r['psnr_rgb']:.1f} | {r['ssim_rgb']:.4f} "
+                f"| {r['depth_err_med']:.2e} | {r['depth_err_p99']:.2e} "
+                f"| {r['depth_err_max']:.2e} |"
+            )
+    else:
+        import json
+
+        for r in rows:
+            print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
