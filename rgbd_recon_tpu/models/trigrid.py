@@ -71,7 +71,7 @@ class ReconTrigrid(Reconstruction):
         mv, proj = cam_mats
         cam = RenderCamera(mv, proj, width, height)
         rig = self.ctx.rig
-        worlds, colors, quals, valids = [], [], [], []
+        worlds, colors, quals, valids, sizes = [], [], [], [], []
         for k in range(rig.num_sensors):
             world, color, qual, valid = self._per_sensor(k, frames, mv)
 
@@ -103,6 +103,17 @@ class ReconTrigrid(Reconstruction):
             else:
                 shaded = color
 
+            # adaptive splat footprint = projected cell extent in pixels
+            # (the reference rasterizes the triangle pair, whose screen size
+            # scales with the projected edges, trigrid_accum.gs:26-57; a
+            # fixed 2 px square leaves holes in oblique close-up views)
+            pxy, _, _, _ = splat_ops.project(world, cam)
+            ext = jnp.maximum(
+                jnp.linalg.norm(jnp.roll(pxy, -1, axis=1) - pxy, axis=-1),
+                jnp.linalg.norm(jnp.roll(pxy, -1, axis=0) - pxy, axis=-1),
+            )
+            sizes.append((ext + 1.0).reshape(-1))
+
             worlds.append(world.reshape(-1, 3))
             colors.append(shaded.reshape(-1, 3))
             quals.append(qual.reshape(-1))
@@ -112,6 +123,7 @@ class ReconTrigrid(Reconstruction):
             jnp.concatenate(worlds), jnp.concatenate(colors),
             jnp.concatenate(quals), jnp.concatenate(valids),
             cam, epsilon=self.epsilon,
+            footprint=4, size=jnp.concatenate(sizes),
         )
         rgba, hit, depth = splat_ops.normalize(buffers)
         return rgba, depth

@@ -70,22 +70,36 @@ def splat(
     cam: RenderCamera,
     epsilon: float = 0.075,  # recon_trigrid.cpp epsilon uniform
     footprint: int = 2,
+    size: jnp.ndarray | None = None,
 ) -> SplatBuffers:
     """Two-pass accumulation splat of shaded points.
 
     world f32[N, 3]; colors f32[N, 3] (already shaded); quality f32[N];
     valid bool[N]. Returns accumulated buffers (use ``normalize`` to resolve).
+
+    ``size``: optional per-point footprint f32[N] in pixels (clipped to
+    [1, footprint]) — the splatting analogue of the reference rasterizing
+    the PROJECTED triangle pair (whose extent scales with edge length,
+    trigrid_accum.gs:26-57): oblique close-up views project grid cells to
+    >2 px and a fixed 2 px square leaves inter-vertex holes. ``footprint``
+    is then the static upper bound; None keeps the full fixed square.
     """
     pxy, pos_es, ndc_z, inside = project(world, cam)
     dist = -pos_es[..., 2]  # view-space depth (camera looks down -z)
     ok = valid & inside & (dist > 0)
+    size_f = None if size is None else jnp.clip(size, 1.0, float(footprint))
+
+    def cover(dx, dy):
+        if size_f is None:
+            return ok
+        return ok & (size_f > dx) & (size_f > dy)
 
     npix = cam.width * cam.height
     zbuf = jnp.full((npix,), jnp.inf, jnp.float32)
     offsets = [(dx, dy) for dy in range(footprint) for dx in range(footprint)]
     for dx, dy in offsets:
         idx = _flat_indices(pxy, cam, dx, dy)
-        zbuf = zbuf.at[idx].min(jnp.where(ok, dist, jnp.inf))
+        zbuf = zbuf.at[idx].min(jnp.where(cover(dx, dy), dist, jnp.inf))
 
     acc = jnp.zeros((npix, 4), jnp.float32)
     wq = quality
@@ -95,7 +109,10 @@ def splat(
         zb = zbuf[idx]
         # within-epsilon test ≙ |position_curr_es - pos_es| (accum fs :60-66)
         # reconstructed along the same ray: |pos_es| * |1 - zb/dist|
-        eps_ok = ok & (jnp.abs(dist - zb) * jnp.linalg.norm(pos_es, axis=-1) / jnp.maximum(dist, 1e-9) < epsilon)
+        eps_ok = cover(dx, dy) & (
+            jnp.abs(dist - zb) * jnp.linalg.norm(pos_es, axis=-1)
+            / jnp.maximum(dist, 1e-9) < epsilon
+        )
         acc = acc.at[idx].add(jnp.where(eps_ok[..., None], payload, 0.0))
 
     return SplatBuffers(
