@@ -379,6 +379,11 @@ class KinectClientApp:
                 raise RuntimeError(
                     f"watch_errors: non-finite values in frame {self._frames_done}"
                 )
+            if out is not None:
+                # brick-capacity overflow = silently dropped geometry; the
+                # reference reads exact counts per frame
+                # (recon_integration.cpp:430-445) — so do we
+                self.pipeline.check_capacity(out)
 
         if self.dump_every and self._frames_done % self.dump_every == 0:
             self._dump_frame(np.asarray(rgba), depth, color, out)
