@@ -24,11 +24,19 @@ class ReconTrigrid(Reconstruction):
     name = "trigrid"
 
     def __init__(self, ctx: ReconContext, min_length: float = 0.0125,
-                 epsilon: float = 0.075, shade_mode: int = 0):
+                 epsilon: float = 0.075, shade_mode: int = 0,
+                 adaptive: bool = True, footprint_cap: int = 6):
         super().__init__(ctx)
         self.min_length = min_length
         self.epsilon = epsilon  # recon_trigrid.cpp epsilon uniform
         self.shade_mode = shade_mode
+        # adaptive=False reverts to the fixed 2 px square footprint
+        # (pre-round-4 behaviour; kept for the adversarial-view A/B test).
+        # footprint_cap bounds the per-point adaptive size (the splat costs
+        # cap^2 scatter passes; 6 px keeps grazing close-up views watertight
+        # — measured interior-hole fraction 1.2% vs 2.3% at cap 4)
+        self.adaptive = adaptive
+        self.footprint_cap = footprint_cap
         self._draw = jax.jit(self._draw_impl, static_argnums=(2, 3))
 
     def _edge_valid(self, world, depth, min_length, scale4: bool):
@@ -119,11 +127,15 @@ class ReconTrigrid(Reconstruction):
             quals.append(qual.reshape(-1))
             valids.append(valid.reshape(-1))
 
+        if self.adaptive:
+            fp, size = self.footprint_cap, jnp.concatenate(sizes)
+        else:
+            fp, size = 2, None
         buffers = splat_ops.splat(
             jnp.concatenate(worlds), jnp.concatenate(colors),
             jnp.concatenate(quals), jnp.concatenate(valids),
             cam, epsilon=self.epsilon,
-            footprint=4, size=jnp.concatenate(sizes),
+            footprint=fp, size=size,
         )
         rgba, hit, depth = splat_ops.normalize(buffers)
         return rgba, depth

@@ -1,0 +1,90 @@
+"""Adversarial-viewpoint tests for the splat-based strategies (VERDICT r4 #7).
+
+The reference rasterizes real geometry — point sprites sized 10/dist
+(points.gs:53-57) and triangle pairs whose screen extent scales with the
+projected edges (trigrid_accum.gs:26-57) — so oblique close-up views stay
+watertight. The splat approximation (ops/splat.py) must match that with
+its adaptive per-point footprint: these tests put the camera CLOSE to the
+sphere surface at a grazing angle, where projected grid cells are largest,
+and bound the interior-hole fraction.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rgbd_recon_tpu.models import ReconContext, ReconPoints, ReconTrigrid, ReconMVT
+from rgbd_recon_tpu.ops import preprocess as pp
+from rgbd_recon_tpu.ops.raymarch import RenderCamera
+from rgbd_recon_tpu.utils.math import look_at, perspective
+
+W, H = 160, 120
+
+
+@pytest.fixture(scope="module")
+def setup(small_rig):
+    rig = small_rig["rig"]
+    frames = pp.preprocess(
+        jnp.asarray(small_rig["depth"]), jnp.asarray(small_rig["color"]), rig
+    )
+    ctx = ReconContext(rig=rig, bbox=small_rig["bbox"], width=W, height=H)
+    scene = small_rig["scene"]
+    c = np.asarray(scene.centers[0], np.float32)
+    r = float(scene.radii[0])
+    # grazing close-up: eye 1.15 r from the center, looking along a chord —
+    # the visible surface patch is foreshortened and its grid cells project
+    # to many pixels each
+    eye = c + np.array([1.05 * r, 0.45 * r, 0.0], np.float32)
+    target = c + np.array([0.0, 0.35 * r, 0.85 * r], np.float32)
+    cam = RenderCamera(
+        jnp.asarray(look_at(eye, target, [0, 1, 0])),
+        jnp.asarray(perspective(60.0, W / H, 0.05, 100.0)),
+        W, H,
+    )
+    return dict(ctx=ctx, frames=frames, cam=cam)
+
+
+def interior_holes(rgba: np.ndarray) -> float:
+    """Fraction of uncovered pixels whose 3x3 neighbourhood is >=6/9
+    covered — holes INSIDE the rendered surface, not its silhouette."""
+    hit = (np.asarray(rgba)[..., 3] > 0).astype(np.float32)
+    pad = np.pad(hit, 1)
+    neigh = sum(
+        pad[1 + dy : 1 + dy + hit.shape[0], 1 + dx : 1 + dx + hit.shape[1]]
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    )
+    holes = (hit == 0) & (neigh >= 6)
+    denom = max(int(hit.sum()), 1)
+    return float(holes.sum()) / denom
+
+
+@pytest.mark.parametrize("cls", [ReconTrigrid, ReconMVT], ids=["trigrid", "mvt"])
+def test_grid_modes_watertight_oblique(setup, cls):
+    model = cls(setup["ctx"])
+    rgba = np.asarray(model.draw(setup["frames"], setup["cam"]))
+    assert np.all(np.isfinite(rgba))
+    cover = (rgba[..., 3] > 0).mean()
+    assert cover > 0.15, f"{cls.name}: oblique close-up coverage {cover}"
+    hole = interior_holes(rgba)
+    assert hole < 0.02, f"{cls.name}: interior holes {hole:.4f}"
+
+
+def test_trigrid_adaptive_beats_fixed(setup):
+    """The fixed 2 px square (pre-round-4) leaves inter-vertex gaps at this
+    view; the adaptive footprint must strictly reduce them."""
+    fixed = ReconTrigrid(setup["ctx"], adaptive=False)
+    adap = ReconTrigrid(setup["ctx"], adaptive=True)
+    h_fixed = interior_holes(fixed.draw(setup["frames"], setup["cam"]))
+    h_adap = interior_holes(adap.draw(setup["frames"], setup["cam"]))
+    assert h_adap <= h_fixed
+    # and the view is genuinely adversarial for the fixed footprint
+    assert h_fixed > h_adap + 0.005, (h_fixed, h_adap)
+
+
+def test_points_close_up(setup):
+    """Point sprites size as 10/dist (points.gs:53-57): close-up views grow
+    the sprites and must stay hole-free inside the silhouette."""
+    model = ReconPoints(setup["ctx"])
+    rgba = np.asarray(model.draw_f(setup["frames"], setup["cam"]))
+    assert np.all(np.isfinite(rgba))
+    assert (rgba[..., 3] > 0).mean() > 0.15
+    assert interior_holes(rgba) < 0.02
