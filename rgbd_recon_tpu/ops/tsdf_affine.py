@@ -252,13 +252,20 @@ def expand_affine(tables: AffineTables) -> IntegrationTables:
 
 
 def win_offsets_affine(tables: AffineTables, h: int, w: int,
-                       wy: int, wx: int, xstride: int) -> jnp.ndarray:
-    """Per-brick per-sensor window selectors i32[K, NB, 2] (y8, xb) from the
-    affine coefficients alone: the footprint midpoint of a brick's valid
-    projections is (to affine accuracy) the center coefficient. Matches
-    tsdf_pallas.win_offsets_pallas's quantization (y 8-aligned, x an
-    overlapping block index of width ``wx`` at stride ``xstride``)."""
-    nxb = w // xstride - 1
+                       wy: int, wx: int, xstride: int,
+                       yalign: int = 8) -> jnp.ndarray:
+    """Per-brick per-sensor window selectors i32[K, NB, 2] (y_origin, xb)
+    from the affine coefficients alone: the footprint midpoint of a brick's
+    valid projections is (to affine accuracy) the center coefficient.
+    Matches tsdf_pallas.win_offsets_pallas's quantization (y origins
+    ``yalign``-aligned, x an overlapping block index of width ``wx`` at
+    stride ``xstride``). ``yalign=16`` for the bf16 pairs layout
+    (expand_xblocks_pairs), whose padded image height the y clamp uses."""
+    wp = max(-(-w // xstride) * xstride, wx)
+    nxb = (wp - wx) // xstride + 1
+    # the f32 layout (yalign=8) is unpadded -> clamp against the true
+    # height; the pairs layout pads H up to the alignment multiple
+    hp = h if yalign == 8 else -(-h // yalign) * yalign
     u0 = tables.coeffs[..., 0, 0]    # [K, NB]
     v0 = tables.coeffs[..., 1, 0]
     x_mid = jnp.clip(u0 * w - 0.5, 0.0, w - 1.0)
@@ -268,6 +275,7 @@ def win_offsets_affine(tables: AffineTables, h: int, w: int,
         0, nxb - 1,
     )
     y8 = jnp.clip(
-        (jnp.floor(y_mid).astype(jnp.int32) - wy // 2) & ~7, 0, h - wy
+        (jnp.floor(y_mid).astype(jnp.int32) - wy // 2) & ~(yalign - 1),
+        0, hp - wy,
     )
     return jnp.stack([y8, xb], axis=-1)

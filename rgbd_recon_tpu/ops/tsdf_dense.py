@@ -52,7 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .tsdf import TsdfConfig
 from .tsdf_fast import BRICK, occupied_list, pack_frames
 from .tsdf_affine import AffineTables, NBASIS, _brick_basis, win_offsets_affine
-from .tsdf_pallas import B3, WY, WX, XSTRIDE, expand_xblocks
+from .tsdf_pallas import (
+    B3, WY, WX2, XSTRIDE2, expand_xblocks_pairs, pack_pairs,
+)
 from .tsdf_persist import NB_PAD, fuse_chunk
 
 XROW = 8          # bricks per x-row (8 * 16 voxels = one 128-lane tile)
@@ -62,19 +64,19 @@ def _kernel(
     # scalar prefetch
     count_ref,    # i32[1]    occupied-brick count
     sel_ref,      # i32[MB]   brick index (into NB) per occupied slot
-    offs_ref,     # i32[MB*K] packed window origin (y8 << 16 | xblock)
+    offs_ref,     # i32[MB*K] packed window origin (y/8 << 16 | xblock)
     # inputs
     cmat_ref,     # HBM f32[MB, NB_PAD, 128] per-slot warp coeffs
     basis_ref,    # VMEM f32[NB_PAD, B3]
     corner_ref,   # VMEM f32[K, 8]
-    packed_ref,   # HBM  f32[K, NXB, 6, H, WX]
+    packed_ref,   # HBM  f32[K, NXB2, 4, Hp, 128] paired x-blocks
     in_v_ref,     # HBM f32[Vz, Vy, NXG, 128]  pre-cleared, aliased
     in_c_ref,     # HBM bf16[4, Vz, Vy, NXG, 128]
     # outputs (the aliased dense buffers)
     dst_v_ref,
     dst_c_ref,
     # scratch
-    wnd_ref,      # VMEM f32[2, K, 6, WY, WX]
+    wnd_ref,      # VMEM f32[2, K, 4, WY, 128] (paired channels)
     cmbuf_ref,    # VMEM f32[2, NB_PAD, 128]
     rowv_ref,     # VMEM f32[2, 16, 16, 128]   row accumulation (double buf)
     rowc_ref,     # VMEM bf16[2, 4, 16, 16, 128]
@@ -89,7 +91,7 @@ def _kernel(
     def win_dma(b, slot, k):
         po = offs_ref[b * num_k + k]
         return pltpu.make_async_copy(
-            packed_ref.at[k, po & 0xFFFF, :, pl.ds(po >> 16, WY), :],
+            packed_ref.at[k, po & 0xFFFF, :, pl.ds((po >> 16) * 8, WY), :],
             wnd_ref.at[slot, k],
             win_sems.at[slot, k],
         )
@@ -281,16 +283,18 @@ def integrate_dense_pallas(
     assert affine.coeffs.shape[1] == nb, (affine.coeffs.shape, cfg.res)
     packed = pack_frames(frames)                 # [K, H, W, 6]
     num_k, h, w, _ = packed.shape
-    packed_cf = jnp.transpose(packed, (0, 3, 1, 2))
-    packed_xb = expand_xblocks(packed_cf)        # [K, NXB, 6, H, WX]
+    packed_xb = expand_xblocks_pairs(pack_pairs(packed))
     corner = jnp.pad(packed[:, 0, 0, :], ((0, 0), (0, 2)))  # [K, 8]
 
     idx_list, valid_list = occupied_list(mask16, max_bricks)
     count = jnp.sum(valid_list.astype(jnp.int32))[None]     # i32[1]
     if win_off is None:
-        win_off = win_offsets_affine(affine, h, w, WY, WX, XSTRIDE)
+        win_off = win_offsets_affine(affine, h, w, WY, WX2, XSTRIDE2)
     offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
-    offs = (offs3[..., 0] << 16 | offs3[..., 1]).reshape(-1)
+    # y packs as its 8-row tile index (origin / 8): the kernel multiplies
+    # back by 8, which is how Mosaic proves the tile divisibility of the
+    # dynamic window DMA offset
+    offs = ((offs3[..., 0] >> 3) << 16 | offs3[..., 1]).reshape(-1)
 
     cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
     cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
@@ -322,7 +326,7 @@ def integrate_dense_pallas(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, num_k, 6, WY, WX), jnp.float32),
+            pltpu.VMEM((2, num_k, 4, WY, 2 * WX2), jnp.float32),
             pltpu.VMEM((2, NB_PAD, 128), jnp.float32),
             pltpu.VMEM((2, BRICK, BRICK, 128), jnp.float32),
             pltpu.VMEM((2, 4, BRICK, BRICK, 128), jnp.bfloat16),

@@ -59,6 +59,57 @@ WY = 48            # y window (rows), origins 8-aligned
 WX = 128           # x window (cols) — one overlapping block (128-lane tile)
 XSTRIDE = 64       # x-block stride
 
+# channel-PAIRED window layout (tsdf_persist/tsdf_dense fast path): two
+# image channels share each 128-lane tile as 64-px halves — the x window
+# guarantee only ever used 64 of the 128 lanes — so the per-sensor
+# sampling matmuls shrink from 7 output lane tiles to 4 (1 depth pair +
+# 3 linear pairs) and the x reductions run over 64 lanes instead of 128.
+# Windows stay f32: bf16 planes would force (16, 128) tiling and 16-
+# aligned y origins, halving the usable y half-extent (a stacked-K=128
+# bf16 variant was measured SLOWER: MXU time scales with K x N-tiles, so
+# 128 x 4 tiles lost to 48 x (1 + 3)).
+WX2 = 64           # pairs x window (cols) — half a lane tile per channel
+XSTRIDE2 = 16      # pairs x-block stride
+
+
+def pack_pairs(packed: jnp.ndarray) -> jnp.ndarray:
+    """pack_frames output [K, H, W, 6] -> channel planes f32[K, 8, H, W]
+    ordered (d_hi, d_lo, sil, qual, r, g, b, 0). The NEAREST-depth hi/lo
+    split (8-bit chunks, both bf16-exact — error ~2^-16) moves here, once
+    per frame, instead of per window in-kernel."""
+    d = packed[..., 0]
+    d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
+    return jnp.stack(
+        [d_hi, d - d_hi, packed[..., 2], packed[..., 1], packed[..., 3],
+         packed[..., 4], packed[..., 5], jnp.zeros_like(d)],
+        axis=1,
+    )
+
+
+def expand_xblocks_pairs(ch8: jnp.ndarray) -> jnp.ndarray:
+    """[K, 8, H, W] channel planes -> overlapping channel-paired x-blocks
+    f32[K, NXB2, 4, Hp, 128] (stride XSTRIDE2): block j, group g holds
+    channels (2g, 2g+1) in lane halves [x | 64 + x], x = j*16 .. j*16+63.
+
+    H pads up to a multiple of 8 (edge mode ≙ GL CLAMP_TO_EDGE) so window
+    DMAs near the bottom edge stay in-bounds; W pads to the stride so
+    right-edge footprints keep a full block."""
+    k, c8, h, w = ch8.shape
+    hp = -(-h // 8) * 8
+    wp = max(-(-w // XSTRIDE2) * XSTRIDE2, WX2)
+    ch8 = jnp.pad(ch8, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)),
+                  mode="edge")
+    nxb = (wp - WX2) // XSTRIDE2 + 1
+    blocks = []
+    for j in range(nxb):
+        sl = ch8[..., j * XSTRIDE2 : j * XSTRIDE2 + WX2]   # [K, 8, Hp, 64]
+        blocks.append(
+            sl.reshape(k, 4, 2, hp, WX2)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(k, 4, hp, 2 * WX2)
+        )
+    return jnp.stack(blocks, axis=1)
+
 
 def _hat2d(coords_col: jnp.ndarray, n: int) -> jnp.ndarray:
     """[M, 1] fractional coords -> [M, n] hat weights (integer iota —

@@ -12,8 +12,9 @@ prefetch and runs a dynamic-trip ``fori_loop`` over exactly the occupied
 bricks — no padding slots, no per-program overhead, and the loop body keeps
 the whole machinery of the old kernel:
 
-  * per-brick sensor image windows (WY x WX) double-buffered via manual DMA
-    (brick b+1's windows prefetch while brick b computes),
+  * per-brick sensor image windows (channel-paired, 4 groups x WY x 128)
+    double-buffered via manual DMA (brick b+1's windows prefetch while
+    brick b computes),
   * gather-as-matmul sampling: NEAREST depth via exact one-hot weights +
     hi/lo split, LINEAR quality/silhouette/color via bf16 hat weights
     (same exactness argument as tsdf_pallas.py, SIL_PL gate),
@@ -51,7 +52,8 @@ from .tsdf_fast import BRICK, occupied_list, pack_frames
 from .tsdf_affine import AffineTables, NBASIS, _brick_basis, win_offsets_affine
 
 from .tsdf_pallas import (
-    B3, SIL_PL, WY, WX, XSTRIDE, _hat2d, _onehot2d, expand_xblocks,
+    B3, SIL_PL, WY, WX2, XSTRIDE2, _hat2d, _onehot2d,
+    expand_xblocks_pairs, pack_pairs,
 )
 
 NB_PAD = 16   # basis rows padded to a sublane tile
@@ -60,10 +62,23 @@ def fuse_chunk(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit):
     """Per-chunk multi-sensor TSDF + color fusion (tsdf_integration.vs:23-59,
     tsdf_raymarch.fs:295-320) on warped coords ``pc_all`` [K*4, HB].
 
-    ``wnd_k(k)`` -> f32[6, WY, WX] sensor window; ``po_b[k]`` packed window
-    origin. Returns (wt f32[HB], rgb_out f32[3, HB], flag f32[HB]). Shared
-    by the block-major kernel below and the dense-emit kernel
-    (ops/tsdf_dense.py) so the fusion math exists exactly once."""
+    ``wnd_k(k)`` -> f32[4, WY, 128] sensor window in the channel-PAIRED
+    layout (tsdf_pallas.expand_xblocks_pairs): groups (d_hi|d_lo, sil|qual,
+    r|g, b|0) with two 64-px channels per lane tile. ``po_b[k]`` packed
+    window origin. Returns (wt f32[HB], rgb_out f32[3, HB], flag f32[HB]).
+    Shared by the block-major kernel below and the dense-emit kernel
+    (ops/tsdf_dense.py) so the fusion math exists exactly once.
+
+    Why pairs (measured on the v5e, 256^3/512 bricks): the unpaired layout
+    needed 7 output lane tiles per sensor (depth hi+lo at 128 px + 5
+    linear channels at 128 px) and x reductions over 896 lanes — but the
+    x-window guarantee (footprint centered, stride-quantized) only ever
+    used ~64 of the 128 px. Packing two channels per tile at WX2=64 keeps
+    the SAME two K=WY matmuls per sensor at 4 output tiles and halves the
+    reduction lanes. MXU time scales with K x N-tiles (a stacked-K=128
+    single-matmul variant measured slower: 128 x 4 > 48 x (1+3)).
+    Exactness is unchanged: one-hot/hat rows select <= 2 f32-accumulated
+    terms and the hi/lo depth split still reconstructs to ~2^-16."""
     hb = pc_all.shape[1]
     wt = jnp.full((hb,), limit, jnp.float32)
     tw = jnp.zeros((hb,), jnp.float32)
@@ -81,51 +96,46 @@ def fuse_chunk(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit):
             (u < 0.0) | (u > 1.0) | (v < 0.0) | (v > 1.0)
             | (d_vox < 0.0) | (d_vox > 1.0)
         )
-        y_lo = po_b[k] >> 16
-        x_lo = (po_b[k] & 0xFFFF) * XSTRIDE
+        # offs packs the y origin's 8-row tile index (y/8): the in-kernel
+        # *8 lets Mosaic prove the window DMA offset's tile divisibility
+        y_lo = (po_b[k] >> 16) * 8
+        x_lo = (po_b[k] & 0xFFFF) * XSTRIDE2
         ux_l = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
         vy_l = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
         ux_n = jnp.clip(jnp.floor(u * w), 0.0, w - 1.0).astype(jnp.int32)
         vy_n = jnp.clip(jnp.floor(v * h), 0.0, h - 1.0).astype(jnp.int32)
-        ux_l = jnp.clip(ux_l - x_lo.astype(jnp.float32), 0.0, WX - 1.0)
+        ux_l = jnp.clip(ux_l - x_lo.astype(jnp.float32), 0.0, WX2 - 1.0)
         vy_l = jnp.clip(vy_l - y_lo.astype(jnp.float32), 0.0, WY - 1.0)
-        ux_n = jnp.clip(ux_n - x_lo, 0, WX - 1)
+        ux_n = jnp.clip(ux_n - x_lo, 0, WX2 - 1)
         vy_n = jnp.clip(vy_n - y_lo, 0, WY - 1)
 
-        rows_l = _hat2d(vy_l[:, None], WY)        # [HB, WY]
-        rows_n = _onehot2d(vy_n[:, None], WY)
-        cols_l = _hat2d(ux_l[:, None], WX)        # [HB, WX]
-        cols_n = _onehot2d(ux_n[:, None], WX)
-
-        # rows-first contraction. A cols-first variant (full
-        # 128-lane K on the MXU + smaller y-reductions) measured
-        # 54 ms vs this form's 33 at 256^3: the per-brick-sensor
-        # [7*WY, WX] window transposes it needs cost more than the
-        # MXU utilization gain buys.
         bf16 = jnp.bfloat16
-        rows_l16 = rows_l.astype(bf16)
-        rows_n16 = rows_n.astype(bf16)            # 0/1 — exact in bf16
-        wnd = wnd_k(k)                            # [6, WY, WX]
-        d = wnd[0]
-        d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
-        d_lo = d - d_hi
-        dd = jnp.concatenate([d_hi, d_lo], axis=1).astype(bf16)
-        nt = jnp.dot(rows_n16, dd, preferred_element_type=jnp.float32)
+        rows_n16 = _onehot2d(vy_n[:, None], WY).astype(bf16)  # 0/1 — exact
+        rows_l16 = _hat2d(vy_l[:, None], WY).astype(bf16)
+        cols_l = _hat2d(ux_l[:, None], WX2)       # [HB, 64] f32 (VPU side)
+        cols_n = _onehot2d(ux_n[:, None], WX2)
 
-        qrgb = jnp.concatenate(
-            [wnd[2], wnd[1], wnd[3], wnd[4], wnd[5]], axis=1
-        ).astype(bf16)
-        lin = jnp.dot(rows_l16, qrgb, preferred_element_type=jnp.float32)
-        # x contraction stays a VPU lane-reduce (f32 exact). A
-        # bf16 ones-matvec variant measured only 1.3 ms faster
-        # while its product cast cost hat-channel exactness
-        # (0.5% of voxels moved >1e-4) — rejected.
-        depth = jnp.sum((nt[:, :WX] + nt[:, WX:]) * cols_n, axis=1)
-        sil = jnp.sum(lin[:, 0 * WX:1 * WX] * cols_l, axis=1)
-        qual = jnp.sum(lin[:, 1 * WX:2 * WX] * cols_l, axis=1)
-        r_ = jnp.sum(lin[:, 2 * WX:3 * WX] * cols_l, axis=1)
-        g_ = jnp.sum(lin[:, 3 * WX:4 * WX] * cols_l, axis=1)
-        b_ = jnp.sum(lin[:, 4 * WX:5 * WX] * cols_l, axis=1)
+        wnd = wnd_k(k)                            # f32 [4, WY, 128]
+        # depth pair (hi|lo): ONE output tile; linear pairs: THREE
+        nt = jnp.dot(rows_n16, wnd[0].astype(bf16),
+                     preferred_element_type=jnp.float32)   # [HB, 128]
+        lin = jnp.dot(
+            rows_l16,
+            jnp.concatenate([wnd[1], wnd[2], wnd[3]], axis=1).astype(bf16),
+            preferred_element_type=jnp.float32,
+        )                                         # [HB, 384]
+
+        # x contraction stays a VPU lane-reduce (f32 exact; a bf16
+        # ones-matvec variant was measured slower AND lossy — rejected,
+        # docs/PERF.md). Lane halves fold first: 64-wide reduces.
+        depth = jnp.sum((nt[:, :WX2] + nt[:, WX2:]) * cols_n, axis=1)
+        cols5 = jnp.concatenate([cols_l] * 5, axis=1)     # [HB, 320]
+        prod = lin[:, :5 * WX2] * cols5
+        sil = jnp.sum(prod[:, 0 * WX2:1 * WX2], axis=1)
+        qual = jnp.sum(prod[:, 1 * WX2:2 * WX2], axis=1)
+        r_ = jnp.sum(prod[:, 2 * WX2:3 * WX2], axis=1)
+        g_ = jnp.sum(prod[:, 3 * WX2:4 * WX2], axis=1)
+        b_ = jnp.sum(prod[:, 4 * WX2:5 * WX2], axis=1)
 
         cv = corner_ref[k]
         depth = jnp.where(invalid, cv[0], depth)
@@ -187,12 +197,12 @@ def _kernel(
                   # even on HBM memrefs. DMA'd per brick with the windows
     basis_ref,    # VMEM f32[NB_PAD, B3] quadratic local-coordinate basis
     corner_ref,   # VMEM f32[K, 8]    image corner values (GL clamp target)
-    packed_ref,   # HBM  f32[K, NXB, 6, H, WX] overlapping x-blocks
+    packed_ref,   # HBM  f32[K, NXB2, 4, Hp, 128] paired x-blocks
     # outputs
     vol_ref,      # HBM f32[NB, 32, 128]      TSDF blocks (block-major)
     cvol_ref,     # HBM bf16[NB, 4, 32, 128]  color blocks
     # scratch
-    wnd_ref,      # VMEM f32[2, K, 6, WY, WX]
+    wnd_ref,      # VMEM f32[2, K, 4, WY, 128] (paired channels)
     cmbuf_ref,    # VMEM f32[2, NB_PAD, 128]
     vblk_ref,     # VMEM f32[2, 32, 128]
     cblk_ref,     # VMEM bf16[2, 4, 32, 128]
@@ -207,7 +217,7 @@ def _kernel(
     def win_dma(b, slot, k):
         po = offs_ref[b * num_k + k]
         return pltpu.make_async_copy(
-            packed_ref.at[k, po & 0xFFFF, :, pl.ds(po >> 16, WY), :],
+            packed_ref.at[k, po & 0xFFFF, :, pl.ds((po >> 16) * 8, WY), :],
             wnd_ref.at[slot, k],
             win_sems.at[slot, k],
         )
@@ -325,22 +335,24 @@ def integrate_affine_pallas(
     stream: bf16 halves the assembly + render traffic); unoccupied voxels
     hold the clear values
     (recon_integration.cpp:249-250). ``win_off``: cached
-    win_offsets_affine(affine, h, w, WY, WX, XSTRIDE)."""
+    win_offsets_affine(affine, h, w, WY, WX2, XSTRIDE2)."""
     vx, vy, vz = cfg.res
     nb = (vx // BRICK) * (vy // BRICK) * (vz // BRICK)
     assert affine.coeffs.shape[1] == nb, (affine.coeffs.shape, cfg.res)
     packed = pack_frames(frames)                 # [K, H, W, 6]
     num_k, h, w, _ = packed.shape
-    packed_cf = jnp.transpose(packed, (0, 3, 1, 2))
-    packed_xb = expand_xblocks(packed_cf)        # [K, NXB, 6, H, WX]
+    packed_xb = expand_xblocks_pairs(pack_pairs(packed))
     corner = jnp.pad(packed[:, 0, 0, :], ((0, 0), (0, 2)))  # [K, 8]
 
     idx_list, valid_list = occupied_list(mask16, max_bricks)
     count = jnp.sum(valid_list.astype(jnp.int32))[None]     # i32[1]
     if win_off is None:
-        win_off = win_offsets_affine(affine, h, w, WY, WX, XSTRIDE)
+        win_off = win_offsets_affine(affine, h, w, WY, WX2, XSTRIDE2)
     offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
-    offs = (offs3[..., 0] << 16 | offs3[..., 1]).reshape(-1)
+    # y packs as its 8-row tile index (origin / 8): the kernel multiplies
+    # back by 8, which is how Mosaic proves the tile divisibility of the
+    # dynamic window DMA offset
+    offs = ((offs3[..., 0] >> 3) << 16 | offs3[..., 1]).reshape(-1)
 
     # [K, MB, chan, basis] -> [MB, basis, K, chan] -> [MB, NB_PAD, 128]
     cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
@@ -368,7 +380,7 @@ def integrate_affine_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, num_k, 6, WY, WX), jnp.float32),
+            pltpu.VMEM((2, num_k, 4, WY, 2 * WX2), jnp.float32),
             pltpu.VMEM((2, NB_PAD, 128), jnp.float32),
             pltpu.VMEM((2, 32, 128), jnp.float32),
             pltpu.VMEM((2, 4, 32, 128), jnp.bfloat16),

@@ -447,11 +447,11 @@ class FramePipeline:
         if getattr(self, "_win_off_hw", None) != (h, w):
             if self._use_affine:
                 from ..ops.tsdf_affine import win_offsets_affine
-                from ..ops.tsdf_pallas import WY, WX, XSTRIDE
+                from ..ops.tsdf_pallas import WY, WX2, XSTRIDE2
 
                 self._win_off = jax.jit(
                     win_offsets_affine, static_argnums=(1, 2, 3, 4, 5)
-                )(self.affine, h, w, WY, WX, XSTRIDE)
+                )(self.affine, h, w, WY, WX2, XSTRIDE2)
             elif self._use_pallas():
                 from ..ops.tsdf_pallas import win_offsets_pallas
 

@@ -144,6 +144,13 @@ def main():
         jraw = jax.jit(lambda f_, m_, a_: integrate_affine_pallas(
             f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks, raw=True))
         timeit("integrate(kernel only)", jraw, [(frames, mask16, pipe.affine)], iters)
+        if tsdf_n % 128 == 0:
+            from rgbd_recon_tpu.ops.tsdf_dense import integrate_dense_pallas
+
+            jdense = jax.jit(lambda f_, m_, a_: integrate_dense_pallas(
+                f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks))
+            intout_d = timeit("integrate(dense-emit)", jdense,
+                              [(frames, mask16, pipe.affine)], iters)
     else:
         jint = jax.jit(lambda f_, m_, t_: tsdf_fast.integrate_sparse(
             f_, t_, pipe.tsdf_cfg, m_, max_bricks=max_bricks,
@@ -171,7 +178,9 @@ def main():
     jpyr = jax.jit(lambda c_, d_: inpaint.build_pyramid(c_, d_, 6))
     pyr = timeit("build_pyramid", jpyr, [(out.color, out.depth)], iters)
     jcf = jax.jit(lambda pc, pd: inpaint.colorfill(pc, pd))
-    timeit("colorfill", jcf, [(pyr[0], pyr[1])], iters)
+    timeit("colorfill(oracle)", jcf, [(pyr[0], pyr[1])], iters)
+    jcfm = jax.jit(lambda pc, pd: inpaint.colorfill_mm(pc, pd))
+    timeit("colorfill(mm)", jcfm, [(pyr[0], pyr[1])], iters)
 
     # --- device trace capture (SURVEY §5.1's jax.profiler equivalent of the
     # reference's GPU timestamp queries). PROF_TRACE=<dir> writes a trace
