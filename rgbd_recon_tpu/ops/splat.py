@@ -94,26 +94,35 @@ def splat(
             return ok
         return ok & (size_f > dx) & (size_f > dy)
 
-    npix = cam.width * cam.height
-    zbuf = jnp.full((npix,), jnp.inf, jnp.float32)
+    # ONE stacked scatter per pass instead of footprint^2 sequential
+    # scatters: min/add are order-independent, and the unrolled chain's
+    # compile time scales with footprint^2 (72 scatter ops at cap 6 —
+    # minutes of XLA compile; the stacked form is 2 ops at any cap)
     offsets = [(dx, dy) for dy in range(footprint) for dx in range(footprint)]
-    for dx, dy in offsets:
-        idx = _flat_indices(pxy, cam, dx, dy)
-        zbuf = zbuf.at[idx].min(jnp.where(cover(dx, dy), dist, jnp.inf))
+    idx_all = jnp.concatenate(
+        [_flat_indices(pxy, cam, dx, dy) for dx, dy in offsets]
+    )
+    cov_all = jnp.concatenate([cover(dx, dy) for dx, dy in offsets])
 
-    acc = jnp.zeros((npix, 4), jnp.float32)
+    npix = cam.width * cam.height
+    nf = len(offsets)
+    dist_all = jnp.tile(dist, nf)
+    zbuf = jnp.full((npix,), jnp.inf, jnp.float32)
+    zbuf = zbuf.at[idx_all].min(jnp.where(cov_all, dist_all, jnp.inf))
+
     wq = quality
     payload = jnp.concatenate([colors * wq[..., None], wq[..., None]], -1)
-    for dx, dy in offsets:
-        idx = _flat_indices(pxy, cam, dx, dy)
-        zb = zbuf[idx]
-        # within-epsilon test ≙ |position_curr_es - pos_es| (accum fs :60-66)
-        # reconstructed along the same ray: |pos_es| * |1 - zb/dist|
-        eps_ok = cover(dx, dy) & (
-            jnp.abs(dist - zb) * jnp.linalg.norm(pos_es, axis=-1)
-            / jnp.maximum(dist, 1e-9) < epsilon
-        )
-        acc = acc.at[idx].add(jnp.where(eps_ok[..., None], payload, 0.0))
+    zb = zbuf[idx_all]
+    # within-epsilon test ≙ |position_curr_es - pos_es| (accum fs :60-66)
+    # reconstructed along the same ray: |pos_es| * |1 - zb/dist|
+    ratio_all = jnp.tile(
+        jnp.linalg.norm(pos_es, axis=-1) / jnp.maximum(dist, 1e-9), nf
+    )
+    eps_ok = cov_all & (jnp.abs(dist_all - zb) * ratio_all < epsilon)
+    acc = jnp.zeros((npix, 4), jnp.float32)
+    acc = acc.at[idx_all].add(
+        jnp.where(eps_ok[..., None], jnp.tile(payload, (nf, 1)), 0.0)
+    )
 
     return SplatBuffers(
         acc.reshape(cam.height, cam.width, 4),
@@ -153,23 +162,26 @@ def zbuffer_points(
     ok = valid & inside & (-pos_es[..., 2] > 0)
     size = jnp.clip(max_size / jnp.maximum(dist, 1e-6), 1.0, 3.0)
 
-    npix = cam.width * cam.height
-    zbuf = jnp.full((npix,), jnp.inf, jnp.float32)
-    zdist = -pos_es[..., 2]
-    for dy in range(-1, 2):
-        for dx in range(-1, 2):
-            covered = ok & (size >= jnp.maximum(jnp.abs(dx), jnp.abs(dy)) * 2.0 - 1.0 + 1e-6)
-            idx = _flat_indices(pxy, cam, dx, dy)
-            zbuf = zbuf.at[idx].min(jnp.where(covered, zdist, jnp.inf))
+    offsets = [(dx, dy) for dy in range(-1, 2) for dx in range(-1, 2)]
+    nf = len(offsets)
+    idx_all = jnp.concatenate(
+        [_flat_indices(pxy, cam, dx, dy) for dx, dy in offsets]
+    )
+    cov_all = jnp.concatenate([
+        ok & (size >= jnp.maximum(abs(dx), abs(dy)) * 2.0 - 1.0 + 1e-6)
+        for dx, dy in offsets
+    ])
 
-    cbuf = jnp.zeros((npix, 4), jnp.float32)
+    npix = cam.width * cam.height
+    zdist = -pos_es[..., 2]
+    zdist_all = jnp.tile(zdist, nf)
+    zbuf = jnp.full((npix,), jnp.inf, jnp.float32)
+    zbuf = zbuf.at[idx_all].min(jnp.where(cov_all, zdist_all, jnp.inf))
+
     rgba = jnp.concatenate([colors, jnp.ones_like(colors[..., :1])], -1)
-    for dy in range(-1, 2):
-        for dx in range(-1, 2):
-            covered = ok & (size >= jnp.maximum(jnp.abs(dx), jnp.abs(dy)) * 2.0 - 1.0 + 1e-6)
-            idx = _flat_indices(pxy, cam, dx, dy)
-            win = covered & (zdist <= zbuf[idx] + 1e-7)
-            cbuf = cbuf.at[idx].set(
-                jnp.where(win[..., None], rgba, cbuf[idx]), mode="drop"
-            )
+    win = cov_all & (zdist_all <= zbuf[idx_all] + 1e-7)
+    cbuf = jnp.zeros((npix, 4), jnp.float32)
+    cbuf = cbuf.at[jnp.where(win, idx_all, npix)].set(
+        jnp.tile(rgba, (nf, 1)), mode="drop"
+    )
     return cbuf.reshape(cam.height, cam.width, 4), zbuf.reshape(cam.height, cam.width)

@@ -274,8 +274,11 @@ def win_offsets_affine(tables: AffineTables, h: int, w: int,
         (jnp.floor(x_mid).astype(jnp.int32) - wx // 2 + xstride // 2) // xstride,
         0, nxb - 1,
     )
+    # the upper clamp must itself be aligned (h - wy need not be a
+    # multiple of yalign, e.g. 212 - 48): the kernels encode y as its
+    # tile index, so an unaligned clamp would silently floor
     y8 = jnp.clip(
         (jnp.floor(y_mid).astype(jnp.int32) - wy // 2) & ~(yalign - 1),
-        0, hp - wy,
+        0, (hp - wy) & ~(yalign - 1),
     )
     return jnp.stack([y8, xb], axis=-1)

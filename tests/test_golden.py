@@ -27,7 +27,12 @@ def test_metrics_sanity():
     b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1)
     p = psnr(a, b)
     assert 18 < p < 23  # sigma 0.1 noise ~= 20 dB
-    assert ssim(a, b) < 0.9
+    # SSIM must order degradations and sit clearly below identity; the
+    # absolute value for iid noise on a noise-like base is damped by the
+    # implementation's grayscale averaging (~0.95 here), so a natural-image
+    # style bound like < 0.9 would misfire
+    b2 = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1)
+    assert ssim(a, b2) < ssim(a, b) < 0.99
 
 
 @pytest.mark.full
