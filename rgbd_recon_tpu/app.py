@@ -122,6 +122,7 @@ class KinectClientApp:
                  dump_textures: bool = False,
                  feedback_socket: str | None = None,
                  max_frames: int | None = None,
+                 serve_port: int | None = None,
                  log=print):
         import jax.numpy as jnp
 
@@ -137,6 +138,14 @@ class KinectClientApp:
         self.dump_textures = dump_textures
         self.max_frames = max_frames
         self.log = log
+        # live HTTP viewer ≙ the reference's GLFW window
+        # (kinect_client.cpp:938-977) — see io/viewer.py
+        self.viewer = None
+        if serve_port is not None:
+            from .io.viewer import LiveViewer
+
+            self.viewer = LiveViewer(serve_port)
+            log(f"live viewer at http://localhost:{self.viewer.port}/")
         self._jnp = jnp
         self._pp = pp
 
@@ -385,6 +394,8 @@ class KinectClientApp:
                 # (recon_integration.cpp:430-445) — so do we
                 self.pipeline.check_capacity(out)
 
+        if self.viewer is not None:
+            self.viewer.publish(np.asarray(rgba))
         if self.dump_every and self._frames_done % self.dump_every == 0:
             self._dump_frame(np.asarray(rgba), depth, color, out)
         return rgba
@@ -436,6 +447,8 @@ class KinectClientApp:
 
     def quit(self) -> int:
         """CSV export on quit (kinect_client.cpp:831-847)."""
+        if self.viewer is not None:
+            self.viewer.close()
         if self.ingest is not None:
             self.ingest.stop()
         if self.feedback is not None:
@@ -475,6 +488,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_opt("dump-every", 1, "dump_every", "dump a PNG every N frames")
     p.add_opt("dump-textures", 0, "dump_textures", "also dump processed sensor textures")
     p.add_opt("frames", 1, "frames", "stop after N frames")
+    p.add_opt("serve", 1, "serve", "serve the live frame stream over HTTP on this port")
     p.add_opt("draw-frustums", 0, "draw_frustums", "overlay calibration frustum wireframes")
     p.add_opt("draw-bricks", 0, "draw_bricks", "overlay occupied-brick wireframes (modes != 1)")
     p.init(argv)
@@ -519,6 +533,7 @@ def main(argv: list[str] | None = None) -> int:
         dump_textures=p.is_opt_set("dump-textures"),
         feedback_socket=p.get_opts_string("f")[0] if p.is_opt_set("f") else None,
         max_frames=int(p.get_opts_int("frames")[0]) if p.is_opt_set("frames") else None,
+        serve_port=int(p.get_opts_int("serve")[0]) if p.is_opt_set("serve") else None,
     )
     return app.run()
 

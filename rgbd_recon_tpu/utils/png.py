@@ -20,9 +20,10 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, img: np.ndarray) -> None:
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
     """img: u8 or float [H, W] (grayscale), [H, W, 3] (RGB) or [H, W, 4]
-    (RGBA). Floats are clipped from [0, 1] to u8."""
+    (RGBA). Floats are clipped from [0, 1] to u8. Returns the PNG bytes
+    (used by write_png and the live HTTP viewer's stream encoder)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = np.clip(np.nan_to_num(img) * 255.0, 0, 255).astype(np.uint8)
@@ -33,10 +34,15 @@ def write_png(path: str, img: np.ndarray) -> None:
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     out = b"\x89PNG\r\n\x1a\n"
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
-    out += _chunk(b"IDAT", zlib.compress(raw, 6))
+    out += _chunk(b"IDAT", zlib.compress(raw, level))
     out += _chunk(b"IEND", b"")
+    return out
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """See encode_png; writes the bytes to ``path``."""
     with open(path, "wb") as f:
-        f.write(out)
+        f.write(encode_png(img))
 
 
 def read_png(path: str) -> np.ndarray:
