@@ -55,7 +55,9 @@ from .tsdf_affine import AffineTables, NBASIS, _brick_basis, win_offsets_affine
 from .tsdf_pallas import (
     B3, WY, WX2, XSTRIDE2, expand_xblocks_pairs, pack_pairs,
 )
-from .tsdf_persist import NB_PAD, fuse_chunk
+from .tsdf_persist import (
+    NB_PAD, fold_window_coords, fuse_chunk, fuse_chunk_v2, fuse_chunk_v3,
+)
 
 XROW = 8          # bricks per x-row (8 * 16 voxels = one 128-lane tile)
 
@@ -84,6 +86,7 @@ def _kernel(
     cm_sems,      # DMA (2,)
     row_sems,     # DMA (2, 2)
     *, num_k: int, h: int, w: int, limit: float, nby: int, nxg: int,
+    variant: str = "v3",
 ):
     del in_v_ref, in_c_ref
     count = count_ref[0]
@@ -209,7 +212,9 @@ def _kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                     # [K*4, B3]
-        wt, rgb_out, flag = fuse_chunk(
+        fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2,
+                "v3": fuse_chunk_v3}[variant]
+        wt, rgb_out, flag = fuse(
             pc_all, lambda k: wnd_ref[slot, k], po_b, corner_ref,
             num_k=num_k, h=h, w=w, limit=limit,
         )
@@ -269,6 +274,7 @@ def integrate_dense_pallas(
     max_bricks: int = 1024,
     win_off: jnp.ndarray | None = None,
     interpret: bool = False,
+    variant: str = "v3",
 ):
     """Brick-sparse fused TSDF + color, dense outputs straight from the
     kernel: (tsdf f32[Vz, Vy, Vx], color bf16[4, Vz, Vy, Vx] CHANNEL-MAJOR).
@@ -298,6 +304,8 @@ def integrate_dense_pallas(
 
     cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
     cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
+    if variant in ("v2", "v3"):
+        cmats = fold_window_coords(cmats, offs3, num_k, h, w)
     cmats = jnp.pad(
         cmats, ((0, 0), (0, NB_PAD - NBASIS), (0, 128 - num_k * 4))
     )
@@ -338,7 +346,7 @@ def integrate_dense_pallas(
 
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
-        nby=nby, nxg=nxg,
+        nby=nby, nxg=nxg, variant=variant,
     )
 
     vol, cvol = pl.pallas_call(

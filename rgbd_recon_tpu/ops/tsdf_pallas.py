@@ -74,14 +74,20 @@ XSTRIDE2 = 16      # pairs x-block stride
 
 def pack_pairs(packed: jnp.ndarray) -> jnp.ndarray:
     """pack_frames output [K, H, W, 6] -> channel planes f32[K, 8, H, W]
-    ordered (d_hi, d_lo, sil, qual, r, g, b, 0). The NEAREST-depth hi/lo
+    ordered (d_hi, d_lo, 1-sil, qual, r, g, b, 0). The NEAREST-depth hi/lo
     split (8-bit chunks, both bf16-exact — error ~2^-16) moves here, once
-    per frame, instead of per window in-kernel."""
+    per frame, instead of per window in-kernel.
+
+    The silhouette plane is stored FLIPPED (1 - sil): the gate compares
+    against SIL_PL ~ 1, where bf16 resolution is only 2^-8 — in the
+    flipped basis the gate margin (1 - SIL_PL = 2e-3) sits near zero,
+    where bf16 is relatively exact, so the whole linear sampling stage can
+    run bf16 (fuse_chunk_v2) without moving the gate."""
     d = packed[..., 0]
     d_hi = jnp.floor(d * 256.0) * (1.0 / 256.0)
     return jnp.stack(
-        [d_hi, d - d_hi, packed[..., 2], packed[..., 1], packed[..., 3],
-         packed[..., 4], packed[..., 5], jnp.zeros_like(d)],
+        [d_hi, d - d_hi, 1.0 - packed[..., 2], packed[..., 1],
+         packed[..., 3], packed[..., 4], packed[..., 5], jnp.zeros_like(d)],
         axis=1,
     )
 

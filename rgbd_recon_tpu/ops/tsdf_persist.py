@@ -58,7 +58,8 @@ from .tsdf_pallas import (
 
 NB_PAD = 16   # basis rows padded to a sublane tile
 
-def fuse_chunk(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit):
+def fuse_chunk(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
+               strip: str = ""):
     """Per-chunk multi-sensor TSDF + color fusion (tsdf_integration.vs:23-59,
     tsdf_raymarch.fs:295-320) on warped coords ``pc_all`` [K*4, HB].
 
@@ -78,7 +79,12 @@ def fuse_chunk(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit):
     reduction lanes. MXU time scales with K x N-tiles (a stacked-K=128
     single-matmul variant measured slower: 128 x 4 > 48 x (1+3)).
     Exactness is unchanged: one-hot/hat rows select <= 2 f32-accumulated
-    terms and the hi/lo depth split still reconstructs to ~2^-16."""
+    terms and the hi/lo depth split still reconstructs to ~2^-16.
+
+    ``strip``: BENCHMARK-ONLY cost bisection (scripts/bisect_integrate.py;
+    wrong results by design): 'nomm' replaces the sampling matmuls with a
+    scalar broadcast, 'noxred' replaces the x lane-reductions with a lane
+    pick, 'nofuse' skips the fusion/blend update chain. Empty = real math."""
     hb = pc_all.shape[1]
     wt = jnp.full((hb,), limit, jnp.float32)
     tw = jnp.zeros((hb,), jnp.float32)
@@ -110,40 +116,74 @@ def fuse_chunk(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit):
         vy_n = jnp.clip(vy_n - y_lo, 0, WY - 1)
 
         bf16 = jnp.bfloat16
-        rows_n16 = _onehot2d(vy_n[:, None], WY).astype(bf16)  # 0/1 — exact
-        rows_l16 = _hat2d(vy_l[:, None], WY).astype(bf16)
-        cols_l = _hat2d(ux_l[:, None], WX2)       # [HB, 64] f32 (VPU side)
-        cols_n = _onehot2d(ux_n[:, None], WX2)
+        if strip == "noweights":  # bisect: weight construction -> 1 op each
+            ones_y = jnp.ones((1, WY), jnp.float32)
+            ones_x = jnp.ones((1, WX2), jnp.float32)
+            rows_n16 = (vy_n[:, None].astype(jnp.float32) * ones_y).astype(bf16)
+            rows_l16 = (vy_l[:, None] * ones_y).astype(bf16)
+            cols_l = ux_l[:, None] * ones_x
+            cols_n = ux_n[:, None].astype(jnp.float32) * ones_x
+        else:
+            rows_n16 = _onehot2d(vy_n[:, None], WY).astype(bf16)  # 0/1 — exact
+            rows_l16 = _hat2d(vy_l[:, None], WY).astype(bf16)
+            cols_l = _hat2d(ux_l[:, None], WX2)   # [HB, 64] f32 (VPU side)
+            cols_n = _onehot2d(ux_n[:, None], WX2)
 
         wnd = wnd_k(k)                            # f32 [4, WY, 128]
-        # depth pair (hi|lo): ONE output tile; linear pairs: THREE
-        nt = jnp.dot(rows_n16, wnd[0].astype(bf16),
-                     preferred_element_type=jnp.float32)   # [HB, 128]
-        lin = jnp.dot(
-            rows_l16,
-            jnp.concatenate([wnd[1], wnd[2], wnd[3]], axis=1).astype(bf16),
-            preferred_element_type=jnp.float32,
-        )                                         # [HB, 384]
+        if strip == "nomm":   # bisect: shrink the sampling contraction K
+            # 48 -> 8 (structurally identical matmuls; a plain broadcast
+            # crashes the Mosaic lowering): mm(48) ~= (full - this) * 48/40
+            nt = jnp.dot(rows_n16[:, :8], wnd[0][:8].astype(bf16),
+                         preferred_element_type=jnp.float32)
+            lin = jnp.dot(
+                rows_l16[:, :8],
+                jnp.concatenate([wnd[1], wnd[2], wnd[3]], axis=1)[:8].astype(bf16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # depth pair (hi|lo): ONE output tile; linear pairs: THREE
+            nt = jnp.dot(rows_n16, wnd[0].astype(bf16),
+                         preferred_element_type=jnp.float32)   # [HB, 128]
+            lin = jnp.dot(
+                rows_l16,
+                jnp.concatenate([wnd[1], wnd[2], wnd[3]], axis=1).astype(bf16),
+                preferred_element_type=jnp.float32,
+            )                                     # [HB, 384]
 
-        # x contraction stays a VPU lane-reduce (f32 exact; a bf16
-        # ones-matvec variant was measured slower AND lossy — rejected,
-        # docs/PERF.md). Lane halves fold first: 64-wide reduces.
-        depth = jnp.sum((nt[:, :WX2] + nt[:, WX2:]) * cols_n, axis=1)
-        cols5 = jnp.concatenate([cols_l] * 5, axis=1)     # [HB, 320]
-        prod = lin[:, :5 * WX2] * cols5
-        sil = jnp.sum(prod[:, 0 * WX2:1 * WX2], axis=1)
-        qual = jnp.sum(prod[:, 1 * WX2:2 * WX2], axis=1)
-        r_ = jnp.sum(prod[:, 2 * WX2:3 * WX2], axis=1)
-        g_ = jnp.sum(prod[:, 3 * WX2:4 * WX2], axis=1)
-        b_ = jnp.sum(prod[:, 4 * WX2:5 * WX2], axis=1)
+        if strip == "noxred":  # bisect: lane reductions (and col weights) off
+            depth = nt[:, 0]
+            sil, qual = lin[:, 0], lin[:, 1]
+            r_, g_, b_ = lin[:, 2], lin[:, 3], lin[:, 4]
+        else:
+            # x contraction stays a VPU lane-reduce (f32 exact; a bf16
+            # ones-matvec variant was measured slower AND lossy — rejected,
+            # docs/PERF.md). Lane halves fold first: 64-wide reduces.
+            depth = jnp.sum((nt[:, :WX2] + nt[:, WX2:]) * cols_n, axis=1)
+            cols5 = jnp.concatenate([cols_l] * 5, axis=1)     # [HB, 320]
+            prod = lin[:, :5 * WX2] * cols5
+            sil = jnp.sum(prod[:, 0 * WX2:1 * WX2], axis=1)
+            qual = jnp.sum(prod[:, 1 * WX2:2 * WX2], axis=1)
+            r_ = jnp.sum(prod[:, 2 * WX2:3 * WX2], axis=1)
+            g_ = jnp.sum(prod[:, 3 * WX2:4 * WX2], axis=1)
+            b_ = jnp.sum(prod[:, 4 * WX2:5 * WX2], axis=1)
 
         cv = corner_ref[k]
         depth = jnp.where(invalid, cv[0], depth)
         qual = jnp.where(invalid, cv[1], qual)
-        sil = jnp.where(invalid, cv[2], sil)
+        # pack_pairs stores (1 - sil); unflip (f32-exact) for the gate
+        sil = 1.0 - jnp.where(invalid, 1.0 - cv[2], sil)
         r_ = jnp.where(invalid, cv[3], r_)
         g_ = jnp.where(invalid, cv[4], g_)
         b_ = jnp.where(invalid, cv[5], b_)
+
+        if strip == "nofuse":  # bisect: fusion/blend update chain off
+            # accumulate (not overwrite): every sensor's sampling must stay
+            # live or the compiler dead-code-eliminates all but the last
+            wt = wt + depth
+            tw = tw + qual
+            tc = tc + jnp.stack([r_, g_, b_])
+            tcw = tcw + sil
+            continue
 
         # TSDF update (tsdf_integration.vs:33-54)
         sdist = d_vox - depth
@@ -184,6 +224,312 @@ def fuse_chunk(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit):
 
 
 
+def fuse_chunk_v2(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
+                  strip: str = ""):
+    """``fuse_chunk`` with the per-voxel coordinate soup restructured
+    (measured round 4: the clip/floor/scale chains on [HB] rank-1 vectors
+    and their [:, None] relayouts were a double-digit-ms cost at 256^3 —
+    bigger than the sampling matmuls they feed):
+
+    * the affine transforms u -> u*w - 0.5 - x_lo / v -> v*h - 0.5 - y_lo
+      are FOLDED INTO THE WARP COEFFICIENTS in prep (fold_window_coords),
+      so ``pc_all`` rows arrive already in window-relative pixel coords;
+    * gates and clips run ONCE on the [K*4, HB] bulk array (full-sublane
+      2D ops) against per-row bound columns built from the offs scalars,
+      instead of ~16 rank-1 ops per sensor.
+
+    Numerically identical up to f32 re-association of the folded scale
+    (≲1e-4 px); the clip/floor identities are exact (x_lo, y_lo integer).
+    """
+    hb = pc_all.shape[1]
+    nr = 4 * num_k
+    rid = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0)
+    zc = jnp.zeros((nr, 1), jnp.float32)
+    hi = zc        # linear/nearest upper clip per row
+    ivlo = zc      # frustum-gate bounds per row (window-relative px)
+    ivhi = zc
+    for k in range(num_k):
+        y_lo = ((po_b[k] >> 16) * 8).astype(jnp.float32)
+        x_lo = ((po_b[k] & 0xFFFF) * XSTRIDE2).astype(jnp.float32)
+        ubx = jnp.minimum(jnp.float32(w - 1) - x_lo, WX2 - 1.0)
+        uby = jnp.minimum(jnp.float32(h - 1) - y_lo, WY - 1.0)
+        hi = jnp.where(rid == 4 * k, ubx, hi)
+        hi = jnp.where(rid == 4 * k + 1, uby, hi)
+        # u < 0 <=> u_px < -0.5 - x_lo etc.; d gates at [0, 1] unscaled
+        ivlo = jnp.where(rid == 4 * k, -0.5 - x_lo, ivlo)
+        ivlo = jnp.where(rid == 4 * k + 1, -0.5 - y_lo, ivlo)
+        ivhi = jnp.where(rid == 4 * k, jnp.float32(w) - 0.5 - x_lo, ivhi)
+        ivhi = jnp.where(rid == 4 * k + 1, jnp.float32(h) - 0.5 - y_lo, ivhi)
+        ivhi = jnp.where(rid == 4 * k + 2, 1.0, ivhi)
+
+    inv3 = (pc_all < ivlo) | (pc_all > ivhi)      # [K*4, HB]
+    pcl = jnp.clip(pc_all, 0.0, hi)               # linear sample coords
+    pcn = jnp.clip(jnp.floor(pc_all + 0.5), 0.0, hi)  # nearest (exact ints)
+
+    bf16 = jnp.bfloat16
+    wt = jnp.full((hb,), limit, jnp.float32)
+    tw = jnp.zeros((hb,), jnp.float32)
+    tc = jnp.zeros((3, hb), jnp.float32)
+    tcw = jnp.zeros((hb,), jnp.float32)
+    tc2 = jnp.zeros((3, hb), jnp.float32)
+    tcw2 = jnp.zeros((hb,), jnp.float32)
+
+    for k in range(num_k):
+        invalid = inv3[4 * k] | inv3[4 * k + 1] | inv3[4 * k + 2]
+        d_vox = pc_all[4 * k + 2]
+        # hat of integer-valued coords IS the one-hot — one constructor
+        rows_n16 = _hat2d(pcn[4 * k + 1][:, None], WY).astype(bf16)
+        rows_l16 = _hat2d(pcl[4 * k + 1][:, None], WY).astype(bf16)
+        cols_n = _hat2d(pcn[4 * k][:, None], WX2)
+        cols_l = _hat2d(pcl[4 * k][:, None], WX2)
+
+        wnd = wnd_k(k)                            # f32 [4, WY, 128]
+        # depth path stays f32: the hi/lo pair fold needs ~2^-16
+        nt = jnp.dot(rows_n16, wnd[0].astype(bf16),
+                     preferred_element_type=jnp.float32)   # [HB, 128]
+        depth = jnp.sum((nt[:, :WX2] + nt[:, WX2:]) * cols_n, axis=1)
+
+        # linear channels run bf16 END-TO-END (VERDICT r4 #1 follow-up:
+        # the kernel is bound by VMEM traffic of these [HB, 384]
+        # intermediates, not ALU — halving their bytes is the lever).
+        # Values are 8-bit colors, a smooth quality weight and the FLIPPED
+        # silhouette (near 0 at the gate margin): all carry bf16's ~2^-9
+        # relative error, the deviation class the SIL_PL gate and color
+        # budget were designed for. Hat weights have <= 2 nonzero taps, so
+        # the bf16 tree-sum adds one rounding step, not sqrt(n).
+        lin = jnp.dot(
+            rows_l16,
+            jnp.concatenate([wnd[1], wnd[2], wnd[3]], axis=1).astype(bf16),
+            preferred_element_type=jnp.float32,   # Mosaic: acc must be 32-bit
+        ).astype(bf16)                            # [HB, 384] bf16
+        cols_l16 = cols_l.astype(bf16)
+        cols6 = jnp.concatenate(
+            [cols_l16] * 5 + [jnp.zeros_like(cols_l16)], axis=1
+        )                                         # [HB, 384] bf16
+        prod = lin * cols6
+        f32 = jnp.float32
+        sil = jnp.sum(prod[:, 0 * WX2:1 * WX2], axis=1).astype(f32)
+        qual = jnp.sum(prod[:, 1 * WX2:2 * WX2], axis=1).astype(f32)
+        r_ = jnp.sum(prod[:, 2 * WX2:3 * WX2], axis=1).astype(f32)
+        g_ = jnp.sum(prod[:, 3 * WX2:4 * WX2], axis=1).astype(f32)
+        b_ = jnp.sum(prod[:, 4 * WX2:5 * WX2], axis=1).astype(f32)
+
+        cv = corner_ref[k]
+        depth = jnp.where(invalid, cv[0], depth)
+        qual = jnp.where(invalid, cv[1], qual)
+        # the sampled plane is (1 - sil) (pack_pairs): the corner holds the
+        # unflipped value, and the gate stays in the flipped basis where
+        # bf16 sampling is relatively exact near the margin
+        sflip = jnp.where(invalid, 1.0 - cv[2], sil)
+        r_ = jnp.where(invalid, cv[3], r_)
+        g_ = jnp.where(invalid, cv[4], g_)
+        b_ = jnp.where(invalid, cv[5], b_)
+
+        # TSDF update (tsdf_integration.vs:33-54)
+        sdist = d_vox - depth
+        skip = (sflip > 1.0 - SIL_PL) & (wt >= limit)
+        in_front = sdist <= -limit
+        in_band = (sdist > -limit) & (sdist < limit)
+        new_tw = tw + qual
+        accum = jnp.where(
+            new_tw > 0.0,
+            (wt * tw + qual * sdist) / jnp.where(new_tw > 0.0, new_tw, 1.0),
+            wt,
+        )
+        wt_next = jnp.where(in_front, -limit, jnp.where(in_band, accum, wt))
+        tw_next = jnp.where(in_band & (new_tw > 0.0), new_tw, tw)
+        wt = jnp.where(skip, -limit, wt_next)
+        tw = jnp.where(skip, tw, tw_next)
+
+        # color blend terms (tsdf_raymarch.fs:295-320)
+        dist = jnp.abs(depth - d_vox)
+        q_c = jnp.where(dist < limit, qual, 0.0)
+        w_c = q_c / (dist + 0.01)
+        rgb = jnp.stack([r_, g_, b_])
+        tc = tc + rgb * w_c[None, :]
+        tcw = tcw + w_c
+        w2 = 1.0 / jnp.maximum(dist, 1e-9)
+        tc2 = tc2 + rgb * w2[None, :]
+        tcw2 = tcw2 + w2
+
+    hasq = tcw > 0.0
+    rgb_out = jnp.where(
+        hasq[None, :],
+        tc / jnp.maximum(tcw, 1e-20)[None, :],
+        tc2 / jnp.maximum(tcw2, 1e-20)[None, :],
+    )
+    flag = jnp.where(hasq, 1.0, -1.0)
+    return wt, rgb_out, flag
+
+
+def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
+                  strip: str = ""):
+    """``fuse_chunk_v2`` with the sampling stage TRANSPOSED: voxels live in
+    LANES end-to-end.
+
+    Why (measured, round 4): the voxel-major orientation put voxels in
+    sublanes, so every weight plane was [HB, W] (HB/8 tile-rows per op),
+    the x-contraction was a lane-reduce, and every per-voxel scalar was a
+    rank-1 [HB] vector — instruction count, not FLOPs or bytes, bound the
+    kernel (window size, precision and coordinate restructures all moved
+    it <3%). Here:
+
+      * weight planes are built TRANSPOSED ([W, HB]: taps in sublanes,
+        voxels in lanes) directly from the lane-major coordinate rows of
+        ``pc_all`` — no [:, None] column relayouts anywhere;
+      * the sampling matmuls contract the window y against the transposed
+        weights (dot_general ((0,), (0,)) — both operands contract dim 0,
+        which the MXU streams natively) and emit [x_window, HB];
+      * the x-contraction is elementwise mul + a SUBLANE-axis reduction
+        (sublane slices are free, the fold tree shrinks the array each
+        step), emitting [HB] lane-major rows;
+      * the fusion/blend chain then runs on lane-major rows: 4 tiles per
+        op instead of 512.
+
+    Same math as v2 (folded window-relative coords, flipped silhouette,
+    bf16 linear channels, f32 nearest-depth path)."""
+    del strip
+    hb = pc_all.shape[1]
+    nr = 4 * num_k
+    rid = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0)
+    zc = jnp.zeros((nr, 1), jnp.float32)
+    hi = zc
+    ivlo = zc
+    ivhi = zc
+    for k in range(num_k):
+        y_lo = ((po_b[k] >> 16) * 8).astype(jnp.float32)
+        x_lo = ((po_b[k] & 0xFFFF) * XSTRIDE2).astype(jnp.float32)
+        ubx = jnp.minimum(jnp.float32(w - 1) - x_lo, WX2 - 1.0)
+        uby = jnp.minimum(jnp.float32(h - 1) - y_lo, WY - 1.0)
+        hi = jnp.where(rid == 4 * k, ubx, hi)
+        hi = jnp.where(rid == 4 * k + 1, uby, hi)
+        ivlo = jnp.where(rid == 4 * k, -0.5 - x_lo, ivlo)
+        ivlo = jnp.where(rid == 4 * k + 1, -0.5 - y_lo, ivlo)
+        ivhi = jnp.where(rid == 4 * k, jnp.float32(w) - 0.5 - x_lo, ivhi)
+        ivhi = jnp.where(rid == 4 * k + 1, jnp.float32(h) - 0.5 - y_lo, ivhi)
+        ivhi = jnp.where(rid == 4 * k + 2, 1.0, ivhi)
+
+    inv3 = (pc_all < ivlo) | (pc_all > ivhi)      # [K*4, HB]
+    pcl = jnp.clip(pc_all, 0.0, hi)
+    pcn = jnp.clip(jnp.floor(pc_all + 0.5), 0.0, hi)
+
+    bf16 = jnp.bfloat16
+    f32 = jnp.float32
+
+    def hat_t(coords_row, n):
+        """[1, HB] coords -> [n, HB] transposed hat weights (taps in
+        sublanes, voxels in lanes)."""
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, hb), 0).astype(f32)
+        return jnp.clip(1.0 - jnp.abs(coords_row - i), 0.0, 1.0)
+
+    def subsum(x):
+        """Sublane-axis sum via a halving fold tree (the array shrinks
+        every step, unlike a lane reduce which stays full-width)."""
+        n = x.shape[0]
+        while n > 1:
+            half = n // 2
+            x = x[:half] + x[half:half * 2]
+            n = half
+        return x[0]
+
+    wt = jnp.full((hb,), limit, f32)
+    tw = jnp.zeros((hb,), f32)
+    tc = jnp.zeros((3, hb), f32)
+    tcw = jnp.zeros((hb,), f32)
+    tc2 = jnp.zeros((3, hb), f32)
+    tcw2 = jnp.zeros((hb,), f32)
+
+    for k in range(num_k):
+        invalid = inv3[4 * k] | inv3[4 * k + 1] | inv3[4 * k + 2]
+        d_vox = pc_all[4 * k + 2]
+        rt_n = hat_t(pcn[4 * k + 1:4 * k + 2], WY).astype(bf16)  # [WY, HB]
+        rt_l = hat_t(pcl[4 * k + 1:4 * k + 2], WY).astype(bf16)
+        ct_n = hat_t(pcn[4 * k:4 * k + 1], WX2)                  # [WX2, HB]
+        ct_l = hat_t(pcl[4 * k:4 * k + 1], WX2).astype(bf16)
+
+        wnd = wnd_k(k)                            # f32 [4, WY, 128]
+        # y-stage, transposed output: [x_window, HB]
+        nt = jax.lax.dot_general(
+            wnd[0].astype(bf16), rt_n, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                         # [128, HB] f32
+        lin = jax.lax.dot_general(
+            jnp.concatenate([wnd[1], wnd[2], wnd[3]], axis=1).astype(bf16),
+            rt_l, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(bf16)                            # [384, HB] bf16
+
+        # x-stage: sublane slices (free) + fold-tree sublane sums
+        depth = subsum((nt[:WX2] + nt[WX2:]) * ct_n)             # [HB] f32
+        sil = subsum(lin[0 * WX2:1 * WX2] * ct_l).astype(f32)
+        qual = subsum(lin[1 * WX2:2 * WX2] * ct_l).astype(f32)
+        r_ = subsum(lin[2 * WX2:3 * WX2] * ct_l).astype(f32)
+        g_ = subsum(lin[3 * WX2:4 * WX2] * ct_l).astype(f32)
+        b_ = subsum(lin[4 * WX2:5 * WX2] * ct_l).astype(f32)
+
+        cv = corner_ref[k]
+        depth = jnp.where(invalid, cv[0], depth)
+        qual = jnp.where(invalid, cv[1], qual)
+        sflip = jnp.where(invalid, 1.0 - cv[2], sil)   # plane is (1 - sil)
+        r_ = jnp.where(invalid, cv[3], r_)
+        g_ = jnp.where(invalid, cv[4], g_)
+        b_ = jnp.where(invalid, cv[5], b_)
+
+        # TSDF update (tsdf_integration.vs:33-54)
+        sdist = d_vox - depth
+        skip = (sflip > 1.0 - SIL_PL) & (wt >= limit)
+        in_front = sdist <= -limit
+        in_band = (sdist > -limit) & (sdist < limit)
+        new_tw = tw + qual
+        accum = jnp.where(
+            new_tw > 0.0,
+            (wt * tw + qual * sdist) / jnp.where(new_tw > 0.0, new_tw, 1.0),
+            wt,
+        )
+        wt_next = jnp.where(in_front, -limit, jnp.where(in_band, accum, wt))
+        tw_next = jnp.where(in_band & (new_tw > 0.0), new_tw, tw)
+        wt = jnp.where(skip, -limit, wt_next)
+        tw = jnp.where(skip, tw, tw_next)
+
+        # color blend terms (tsdf_raymarch.fs:295-320)
+        dist = jnp.abs(depth - d_vox)
+        q_c = jnp.where(dist < limit, qual, 0.0)
+        w_c = q_c / (dist + 0.01)
+        rgb = jnp.stack([r_, g_, b_])
+        tc = tc + rgb * w_c[None, :]
+        tcw = tcw + w_c
+        w2 = 1.0 / jnp.maximum(dist, 1e-9)
+        tc2 = tc2 + rgb * w2[None, :]
+        tcw2 = tcw2 + w2
+
+    hasq = tcw > 0.0
+    rgb_out = jnp.where(
+        hasq[None, :],
+        tc / jnp.maximum(tcw, 1e-20)[None, :],
+        tc2 / jnp.maximum(tcw2, 1e-20)[None, :],
+    )
+    flag = jnp.where(hasq, 1.0, -1.0)
+    return wt, rgb_out, flag
+
+
+def fold_window_coords(cmats: jnp.ndarray, offs3: jnp.ndarray, num_k: int,
+                       h: int, w: int) -> jnp.ndarray:
+    """Fold the window-relative pixel transform into the warp coefficients
+    (fuse_chunk_v2's prep): u -> u*w - 0.5 - x_lo, v -> v*h - 0.5 - y_lo.
+    ``cmats`` [MB, NBASIS, K*4] channel-lane order (u, v, d, pad) per
+    sensor; ``offs3`` [MB, K, 2] = (y_origin_px, x_block)."""
+    mb = cmats.shape[0]
+    scale = jnp.tile(jnp.array([w, h, 1.0, 1.0], jnp.float32), num_k)
+    cmats = cmats * scale[None, None, :]
+    x_lo = offs3[..., 1].astype(jnp.float32) * XSTRIDE2      # [MB, K]
+    y_lo = offs3[..., 0].astype(jnp.float32)
+    off = jnp.stack(
+        [x_lo + 0.5, y_lo + 0.5, jnp.zeros_like(x_lo), jnp.zeros_like(x_lo)],
+        axis=-1,
+    ).reshape(mb, 4 * num_k)
+    return cmats.at[:, 0, :].add(-off)
+
+
 def _kernel(
     # scalar prefetch
     count_ref,    # i32[1]    occupied-brick count
@@ -210,6 +556,7 @@ def _kernel(
     cm_sems,      # DMA (2,)
     out_sems,     # DMA (2, 2)
     *, num_k: int, h: int, w: int, limit: float, chunks: int,
+    strip: str = "", variant: str = "v1",
 ):
     HB = B3 // chunks
     count = count_ref[0]
@@ -268,6 +615,14 @@ def _kernel(
 
         po_b = [offs_ref[b * num_k + k] for k in range(num_k)]
 
+        if strip == "dmaonly":  # bisect: DMA pipeline + loop sequencing only
+            acc = sum(wnd_ref[slot, k, 0, 0, 0] for k in range(num_k))
+            vblk_ref[slot] = jnp.full((32, 128), acc, jnp.float32)
+            cblk_ref[slot] = jnp.zeros((4, 32, 128), jnp.bfloat16)
+            vol_dma(b, slot).start()
+            cvol_dma(b, slot).start()
+            return 0
+
         for ch in range(chunks):
             # per-sensor warp: one tiny matmul per chunk against the static
             # quadratic basis — [NB_PAD, K*4]^T @ [NB_PAD, HB] -> rows
@@ -283,9 +638,11 @@ def _kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )                                     # [K*4, HB]
-            wt, rgb_out, flag = fuse_chunk(
+            fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2,
+                    "v3": fuse_chunk_v3}[variant]
+            wt, rgb_out, flag = fuse(
                 pc_all, lambda k: wnd_ref[slot, k], po_b, corner_ref,
-                num_k=num_k, h=h, w=w, limit=limit,
+                num_k=num_k, h=h, w=w, limit=limit, strip=strip,
             )
             hrows = HB // 128
             vblk_ref[slot, pl.ds(ch * hrows, hrows), :] = wt.reshape(hrows, 128)
@@ -325,6 +682,8 @@ def integrate_affine_pallas(
     interpret: bool = False,
     raw: bool = False,
     chunks: int = 1,
+    strip: str = "",
+    variant: str = "v3",
 ):
     """Brick-sparse fused TSDF + color volumes from affine warp coefficients.
 
@@ -339,6 +698,8 @@ def integrate_affine_pallas(
     vx, vy, vz = cfg.res
     nb = (vx // BRICK) * (vy // BRICK) * (vz // BRICK)
     assert affine.coeffs.shape[1] == nb, (affine.coeffs.shape, cfg.res)
+    if strip:
+        variant = "v1"   # the bisect strips live in the v1 fuse path
     packed = pack_frames(frames)                 # [K, H, W, 6]
     num_k, h, w, _ = packed.shape
     packed_xb = expand_xblocks_pairs(pack_pairs(packed))
@@ -357,6 +718,8 @@ def integrate_affine_pallas(
     # [K, MB, chan, basis] -> [MB, basis, K, chan] -> [MB, NB_PAD, 128]
     cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
     cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
+    if variant in ("v2", "v3"):
+        cmats = fold_window_coords(cmats, offs3, num_k, h, w)
     cmats = jnp.pad(
         cmats, ((0, 0), (0, NB_PAD - NBASIS), (0, 128 - num_k * 4))
     )
@@ -392,7 +755,7 @@ def integrate_affine_pallas(
 
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
-        chunks=chunks,
+        chunks=chunks, strip=strip, variant=variant,
     )
 
     vol_bm, cvol_bm = pl.pallas_call(

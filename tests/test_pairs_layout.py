@@ -27,9 +27,10 @@ def test_pack_pairs_channels():
     d_hi = np.floor(d * 256.0) / 256.0
     np.testing.assert_array_equal(ch8[:, 0], d_hi)
     np.testing.assert_allclose(ch8[:, 0] + ch8[:, 1], d, rtol=0, atol=1e-7)
-    # order: (d_hi, d_lo, sil, qual, r, g, b, 0) from packed
-    # (d, qual, sil, r, g, b) — sil/qual swap positions
-    np.testing.assert_array_equal(ch8[:, 2], packed[..., 2])
+    # order: (d_hi, d_lo, 1-sil, qual, r, g, b, 0) from packed
+    # (d, qual, sil, r, g, b) — sil/qual swap positions, sil flips so the
+    # bf16 sampling stage is exact near the gate margin (pack_pairs doc)
+    np.testing.assert_array_equal(ch8[:, 2], 1.0 - packed[..., 2])
     np.testing.assert_array_equal(ch8[:, 3], packed[..., 1])
     for c in range(3):
         np.testing.assert_array_equal(ch8[:, 4 + c], packed[..., 3 + c])
