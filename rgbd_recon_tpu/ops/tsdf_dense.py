@@ -71,41 +71,56 @@ def _kernel(
     cmat_ref,     # HBM f32[MB, NB_PAD, 128] per-slot warp coeffs
     basis_ref,    # VMEM f32[NB_PAD, B3]
     corner_ref,   # VMEM f32[K, 8]
-    packed_ref,   # HBM  f32[K, NXB2, 4, Hp, 128] paired x-blocks
+    packed_ref,   # HBM bf16[K, NXB2, 4, Hp, 128] paired x-blocks
     in_v_ref,     # HBM f32[Vz, Vy, NXG, 128]  pre-cleared, aliased
     in_c_ref,     # HBM bf16[4, Vz, Vy, NXG, 128]
     # outputs (the aliased dense buffers)
     dst_v_ref,
     dst_c_ref,
     # scratch
-    wnd_ref,      # VMEM f32[2, K, 4, WY, 128] (paired channels)
-    cmbuf_ref,    # VMEM f32[2, NB_PAD, 128]
+    wnd_ref,      # VMEM bf16[2, G, K, 4, WY, 128] (paired channels)
+    cmbuf_ref,    # VMEM f32[2, G, NB_PAD, 128]
     rowv_ref,     # VMEM f32[2, 16, 16, 128]   row accumulation (double buf)
     rowc_ref,     # VMEM bf16[2, 4, 16, 16, 128]
-    win_sems,     # DMA (2, K)
+    win_sems,     # DMA (2,)  shared by all of a slot's window copies
     cm_sems,      # DMA (2,)
     row_sems,     # DMA (2, 2)
     *, num_k: int, h: int, w: int, limit: float, nby: int, nxg: int,
-    variant: str = "v3",
+    variant: str = "v3", group: int = 2, strip: str = "",
 ):
+    """The brick loop runs GROUPED: ``group`` bricks per fori_loop
+    iteration (unrolled members), because the floor is per-ITERATION
+    scalar sequencing, not DMA bytes (measured: the bare window-DMA loop
+    costs the same at WY=8 as WY=48 and barely less at K=1 than K=4 when
+    copies share one semaphore — docs/PERF.md round-4 bisect). Grouping
+    cuts iterations by ``group``x, the coefficient DMA becomes ONE
+    contiguous [G, NB_PAD, 128] copy per group, and all of a group's
+    window copies share one semaphore. Tail members past ``count`` clamp
+    to the last valid brick: same row -> no flush, and the accumulation
+    mask gates on validity, so they are compute-only no-ops."""
     del in_v_ref, in_c_ref
     count = count_ref[0]
+    ngroups = jax.lax.div(count + group - 1, group)
 
-    def win_dma(b, slot, k):
-        po = offs_ref[b * num_k + k]
+    def clamp(b):
+        return jnp.minimum(b, count - 1)
+
+    def win_dma(b, slot, i, k):
+        po = offs_ref[clamp(b) * num_k + k]
         return pltpu.make_async_copy(
             packed_ref.at[k, po & 0xFFFF, :, pl.ds((po >> 16) * 8, WY), :],
-            wnd_ref.at[slot, k],
-            win_sems.at[slot, k],
+            wnd_ref.at[slot, i, k],
+            win_sems.at[slot],
         )
 
-    def cm_dma(b, slot):
+    def cm_dma(g, slot):
         return pltpu.make_async_copy(
-            cmat_ref.at[b], cmbuf_ref.at[slot], cm_sems.at[slot]
+            cmat_ref.at[pl.ds(g * group, group)],
+            cmbuf_ref.at[slot], cm_sems.at[slot],
         )
 
     def row_of(b):
-        return sel_ref[b] // XROW
+        return sel_ref[clamp(b)] // XROW
 
     def flush_row(row, rslot):
         """Start the dense-region DMAs for a completed row buffer.
@@ -149,8 +164,9 @@ def _kernel(
     @pl.when(count > 0)
     def _bootstrap():
         cm_dma(0, 0).start()
-        for k in range(num_k):
-            win_dma(0, 0, k).start()
+        for i in range(group):
+            for k in range(num_k):
+                win_dma(i, 0, i, k).start()
 
     # loop-invariant relayout constants (hoisted by the compiler)
     VROWS = B3 // 128           # 32: rows of the value's native layout
@@ -165,90 +181,135 @@ def _kernel(
         jnp.int32, (BRICK, BRICK, 128), 2
     ) // BRICK                            # [16, 16, 128]: lane -> x-brick
 
-    def body(b, carry):
+    def body(g, carry):
         rslot, nflush = carry
-        slot = jax.lax.rem(b, 2)
+        slot = jax.lax.rem(g, 2)
 
-        @pl.when(b + 1 < count)
+        @pl.when(g + 1 < ngroups)
         def _prefetch():
-            nslot = jax.lax.rem(b + 1, 2)
-            cm_dma(b + 1, nslot).start()
+            nslot = jax.lax.rem(g + 1, 2)
+            cm_dma(g + 1, nslot).start()
+            for i in range(group):
+                for k in range(num_k):
+                    win_dma((g + 1) * group + i, nslot, i, k).start()
+
+        cm_dma(g, slot).wait()
+        for i in range(group):
             for k in range(num_k):
-                win_dma(b + 1, nslot, k).start()
+                win_dma(g * group + i, slot, i, k).wait()
 
-        # row management: flush on row change, rotate + clear the buffer
-        prev_b = jnp.maximum(b - 1, 0)
-        is_new = (b == 0) | (row_of(b) != row_of(prev_b))
+        for i in range(group):
+            b = g * group + i
+            valid = b < count
 
-        @pl.when(is_new & (b > 0))
-        def _flush_prev():
-            flush_row(row_of(prev_b), rslot)
+            # row management: flush on row change, rotate + clear the
+            # buffer (tail members clamp to the last brick: no change)
+            prev_b = jnp.maximum(b - 1, 0)
+            is_new = (b == 0) | (row_of(b) != row_of(prev_b))
 
-        rslot = jnp.where(is_new & (b > 0), 1 - rslot, rslot)
-        nflush = nflush + jnp.where(is_new & (b > 0), 1, 0)
+            @pl.when(is_new & (b > 0))
+            def _flush_prev():
+                flush_row(row_of(prev_b), rslot)
 
-        @pl.when(is_new & (nflush >= 2))
-        def _wait_reuse():
-            wait_row(rslot)
+            rslot = jnp.where(is_new & (b > 0), 1 - rslot, rslot)
+            nflush = nflush + jnp.where(is_new & (b > 0), 1, 0)
 
-        @pl.when(is_new)
-        def _clear_row():
-            rowv_ref[rslot] = jnp.full(
-                (BRICK, BRICK, 128), -limit, jnp.float32
+            @pl.when(is_new & (nflush >= 2))
+            def _wait_reuse():
+                wait_row(rslot)
+
+            @pl.when(is_new)
+            def _clear_row():
+                rowv_ref[rslot] = jnp.full(
+                    (BRICK, BRICK, 128), -limit, jnp.float32
+                )
+                rowc_ref[rslot] = jnp.zeros(
+                    (4, BRICK, BRICK, 128), jnp.bfloat16
+                )
+
+            if strip == "dmaonly":
+                # BENCHMARK-ONLY: DMA pipeline + row flushes, compute off.
+                wtouch = sum(
+                    wnd_ref[slot, i, k, 0, 0:1, :].astype(jnp.float32)
+                    for k in range(num_k)
+                ) + cmbuf_ref[slot, i, 0:1, 0:128].reshape(1, 128)
+                rowv_ref[rslot, 0:1] = jnp.where(
+                    valid, jnp.tile(wtouch, (BRICK, 1)).reshape(
+                        1, BRICK, 128), rowv_ref[rslot, 0:1])
+                continue
+
+            po_b = [offs_ref[clamp(b) * num_k + k] for k in range(num_k)]
+            cm_t = cmbuf_ref[slot, i][:, : num_k * 4]
+            pc_all = jax.lax.dot_general(
+                cm_t, basis_ref[...],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                     # [K*4, B3]
+            if strip == "nofuse":
+                # BENCHMARK-ONLY (scripts/bisect_integrate.py): windows +
+                # warp matmul + relayout/RMW, fuse math off. Touch every
+                # window so the DMAs stay live.
+                wtouch = sum(
+                    wnd_ref[slot, i, k, 0, 0:1, :].astype(jnp.float32)
+                    for k in range(num_k)
+                )                                 # [1, 128]
+                wt = pc_all[2] + jnp.tile(wtouch, (1, B3 // 128))[0]
+                rgb_out = pc_all[:3]
+                flag = pc_all[3]
+            else:
+                fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2,
+                        "v3": fuse_chunk_v3}[variant]
+                wt, rgb_out, flag = fuse(
+                    pc_all, lambda k, _i=i: wnd_ref[slot, _i, k], po_b,
+                    corner_ref, num_k=num_k, h=h, w=w, limit=limit,
+                    strip=strip if strip.startswith("x") else "",
+                )
+
+            # relayout (32, 128) -> dense row order and place at the
+            # brick's lane group: rows r = lz*16+ly via the row-expand
+            # matmul (0/1 selection — HIGHEST precision makes the f32 pass
+            # bit-exact; the default single bf16 pass measured 6e-5 TSDF
+            # deviation), lanes bxi*16+lx via the strided roll (rotation
+            # (bxi - r%8)*16 per row)
+            bxi = jax.lax.rem(sel_ref[clamp(b)], XROW)
+            keep = (lane16 == bxi) & valid
+
+            if strip == "norelay":
+                # BENCHMARK-ONLY: fuse on, row-expand/roll/RMW replaced by
+                # a raw (wrong-layout) store that keeps the results live.
+                rowv_ref[rslot, 0:2] = wt.reshape(2, BRICK, 128)
+                for c in range(3):
+                    rowc_ref[rslot, c, 0:2] = (
+                        rgb_out[c].reshape(2, BRICK, 128).astype(jnp.bfloat16))
+                rowc_ref[rslot, 3, 0:2] = (
+                    flag.reshape(2, BRICK, 128).astype(jnp.bfloat16))
+                continue
+
+            V = wt.reshape(VROWS, 128)
+            U = jnp.dot(rexp32, V, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            W = pltpu.roll(U, bxi * BRICK, 1, stride=112, stride_axis=0)
+            rowv_ref[rslot] = jnp.where(
+                keep, W.reshape(BRICK, BRICK, 128), rowv_ref[rslot]
             )
-            rowc_ref[rslot] = jnp.zeros(
-                (4, BRICK, BRICK, 128), jnp.bfloat16
-            )
 
-        cm_dma(b, slot).wait()
-        for k in range(num_k):
-            win_dma(b, slot, k).wait()
-
-        po_b = [offs_ref[b * num_k + k] for k in range(num_k)]
-        cm_t = cmbuf_ref[slot][:, : num_k * 4]
-        pc_all = jax.lax.dot_general(
-            cm_t, basis_ref[...],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                     # [K*4, B3]
-        fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2,
-                "v3": fuse_chunk_v3}[variant]
-        wt, rgb_out, flag = fuse(
-            pc_all, lambda k: wnd_ref[slot, k], po_b, corner_ref,
-            num_k=num_k, h=h, w=w, limit=limit,
-        )
-
-        # relayout (32, 128) -> dense row order and place at the brick's
-        # lane group: rows r = lz*16+ly via the row-expand matmul (0/1
-        # selection — HIGHEST precision makes the f32 pass bit-exact; the
-        # default single bf16 pass measured 6e-5 TSDF deviation), lanes
-        # bxi*16+lx via the strided roll (rotation (bxi - r%8)*16 per row)
-        bxi = jax.lax.rem(sel_ref[b], XROW)
-        keep = lane16 == bxi
-
-        V = wt.reshape(VROWS, 128)
-        U = jnp.dot(rexp32, V, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        W = pltpu.roll(U, bxi * BRICK, 1, stride=112, stride_axis=0)
-        rowv_ref[rslot] = jnp.where(
-            keep, W.reshape(BRICK, BRICK, 128), rowv_ref[rslot]
-        )
-
-        call = jnp.concatenate([rgb_out, flag[None, :]], axis=0)  # [4, B3]
-        for c in range(4):
-            Vc = call[c].reshape(VROWS, 128).astype(jnp.bfloat16)
-            # bf16 operands with f32 acc: the selection product is exact
-            Uc = jnp.dot(rexp16, Vc, preferred_element_type=jnp.float32)
-            Wc = pltpu.roll(Uc, bxi * BRICK, 1, stride=112, stride_axis=0)
-            rowc_ref[rslot, c] = jnp.where(
-                keep, Wc.reshape(BRICK, BRICK, 128).astype(jnp.bfloat16),
-                rowc_ref[rslot, c]
-            )
+            call = jnp.concatenate([rgb_out, flag[None, :]], axis=0)  # [4, B3]
+            for c in range(4):
+                Vc = call[c].reshape(VROWS, 128).astype(jnp.bfloat16)
+                # bf16 operands with f32 acc: the selection product is exact
+                Uc = jnp.dot(rexp16, Vc, preferred_element_type=jnp.float32)
+                Wc = pltpu.roll(Uc, bxi * BRICK, 1, stride=112, stride_axis=0)
+                rowc_ref[rslot, c] = jnp.where(
+                    keep, Wc.reshape(BRICK, BRICK, 128).astype(jnp.bfloat16),
+                    rowc_ref[rslot, c]
+                )
 
         return (rslot, nflush)
 
-    rslot, nflush = jax.lax.fori_loop(0, count, body, (jnp.int32(0), jnp.int32(0)))
+    rslot, nflush = jax.lax.fori_loop(
+        0, ngroups, body, (jnp.int32(0), jnp.int32(0))
+    )
 
     # flush the final row, then drain the last two flushes
     @pl.when(count > 0)
@@ -275,6 +336,8 @@ def integrate_dense_pallas(
     win_off: jnp.ndarray | None = None,
     interpret: bool = False,
     variant: str = "v3",
+    group: int = 2,
+    strip: str = "",
 ):
     """Brick-sparse fused TSDF + color, dense outputs straight from the
     kernel: (tsdf f32[Vz, Vy, Vx], color bf16[4, Vz, Vy, Vx] CHANNEL-MAJOR).
@@ -283,13 +346,14 @@ def integrate_dense_pallas(
     (recon_integration.cpp:249-250). Requires cfg.res[0] % 128 == 0."""
     vx, vy, vz = cfg.res
     assert vx % 128 == 0, "dense-emit needs whole 128-lane x-rows"
+    assert max_bricks % group == 0, (max_bricks, group)
     nbz, nby, nbx = vz // BRICK, vy // BRICK, vx // BRICK
     nxg = nbx // XROW
     nb = nbz * nby * nbx
     assert affine.coeffs.shape[1] == nb, (affine.coeffs.shape, cfg.res)
     packed = pack_frames(frames)                 # [K, H, W, 6]
     num_k, h, w, _ = packed.shape
-    packed_xb = expand_xblocks_pairs(pack_pairs(packed))
+    packed_xb = expand_xblocks_pairs(pack_pairs(packed), dtype=jnp.bfloat16)
     corner = jnp.pad(packed[:, 0, 0, :], ((0, 0), (0, 2)))  # [K, 8]
 
     idx_list, valid_list = occupied_list(mask16, max_bricks)
@@ -334,11 +398,11 @@ def integrate_dense_pallas(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, num_k, 4, WY, 2 * WX2), jnp.float32),
-            pltpu.VMEM((2, NB_PAD, 128), jnp.float32),
+            pltpu.VMEM((2, group, num_k, 4, WY, 2 * WX2), jnp.bfloat16),
+            pltpu.VMEM((2, group, NB_PAD, 128), jnp.float32),
             pltpu.VMEM((2, BRICK, BRICK, 128), jnp.float32),
             pltpu.VMEM((2, 4, BRICK, BRICK, 128), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, num_k)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -346,7 +410,7 @@ def integrate_dense_pallas(
 
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
-        nby=nby, nxg=nxg, variant=variant,
+        nby=nby, nxg=nxg, variant=variant, group=group, strip=strip,
     )
 
     vol, cvol = pl.pallas_call(

@@ -92,15 +92,22 @@ def pack_pairs(packed: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def expand_xblocks_pairs(ch8: jnp.ndarray) -> jnp.ndarray:
+def expand_xblocks_pairs(ch8: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """[K, 8, H, W] channel planes -> overlapping channel-paired x-blocks
     f32[K, NXB2, 4, Hp, 128] (stride XSTRIDE2): block j, group g holds
     channels (2g, 2g+1) in lane halves [x | 64 + x], x = j*16 .. j*16+63.
 
     H pads up to a multiple of 8 (edge mode ≙ GL CLAMP_TO_EDGE) so window
     DMAs near the bottom edge stay in-bounds; W pads to the stride so
-    right-edge footprints keep a full block."""
+    right-edge footprints keep a full block.
+
+    ``dtype=jnp.bfloat16`` halves the window DMA bytes and VMEM; it is
+    BITWISE-identical for the persistent kernels, which cast every window
+    plane to bf16 at the sampling matmul anyway (d_hi/d_lo are bf16-exact
+    by construction — the whole point of the pair split)."""
     k, c8, h, w = ch8.shape
+    if dtype is not None:
+        ch8 = ch8.astype(dtype)
     hp = -(-h // 8) * 8
     wp = max(-(-w // XSTRIDE2) * XSTRIDE2, WX2)
     ch8 = jnp.pad(ch8, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)),

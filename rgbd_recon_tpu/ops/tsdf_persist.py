@@ -387,8 +387,12 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
         op instead of 512.
 
     Same math as v2 (folded window-relative coords, flipped silhouette,
-    bf16 linear channels, f32 nearest-depth path)."""
-    del strip
+    bf16 linear channels, f32 nearest-depth path).
+
+    ``strip`` (BENCHMARK-ONLY, wrong results): 'xnomm' replaces the
+    sampling matmuls with slices of the weight planes; 'xnoxs' skips the
+    x-stage subsums; 'xnowt' skips the transposed weight construction;
+    'xnofu' skips the fusion/blend chain (accumulate raw samples)."""
     hb = pc_all.shape[1]
     nr = 4 * num_k
     rid = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0)
@@ -416,11 +420,21 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
     bf16 = jnp.bfloat16
     f32 = jnp.float32
 
-    def hat_t(coords_row, n):
-        """[1, HB] coords -> [n, HB] transposed hat weights (taps in
-        sublanes, voxels in lanes)."""
-        i = jax.lax.broadcasted_iota(jnp.int32, (n, hb), 0).astype(f32)
-        return jnp.clip(1.0 - jnp.abs(coords_row - i), 0.0, 1.0)
+    # weight-plane construction is a first-order VPU cost (4 planes x 4
+    # sensors per brick): hoist the iotas out of the sensor loop, build
+    # NEAREST planes as exact 0/1 comparisons (2 passes, not a hat), and
+    # drop the redundant upper clip (1 - |d| <= 1 always)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (WY, hb), 0).astype(f32)
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (WX2, hb), 0).astype(f32)
+
+    def hat_t(coords_row, iota):
+        """[1, HB] coords -> transposed hat weights (taps in sublanes,
+        voxels in lanes)."""
+        return jnp.maximum(1.0 - jnp.abs(coords_row - iota), 0.0)
+
+    def one_t(coords_row, iota, dt):
+        """Integer-valued coords -> exact one-hot planes."""
+        return (coords_row == iota).astype(dt)
 
     def subsum(x):
         """Sublane-axis sum via a halving fold tree (the array shrinks
@@ -442,30 +456,43 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
     for k in range(num_k):
         invalid = inv3[4 * k] | inv3[4 * k + 1] | inv3[4 * k + 2]
         d_vox = pc_all[4 * k + 2]
-        rt_n = hat_t(pcn[4 * k + 1:4 * k + 2], WY).astype(bf16)  # [WY, HB]
-        rt_l = hat_t(pcl[4 * k + 1:4 * k + 2], WY).astype(bf16)
-        ct_n = hat_t(pcn[4 * k:4 * k + 1], WX2)                  # [WX2, HB]
-        ct_l = hat_t(pcl[4 * k:4 * k + 1], WX2).astype(bf16)
+        rt_n = one_t(pcn[4 * k + 1:4 * k + 2], iota_y, bf16)     # [WY, HB]
+        rt_l = hat_t(pcl[4 * k + 1:4 * k + 2], iota_y).astype(bf16)
+        ct_n = one_t(pcn[4 * k:4 * k + 1], iota_x, f32)          # [WX2, HB]
+        ct_l = hat_t(pcl[4 * k:4 * k + 1], iota_x).astype(bf16)
 
         wnd = wnd_k(k)                            # f32 [4, WY, 128]
-        # y-stage, transposed output: [x_window, HB]
-        nt = jax.lax.dot_general(
-            wnd[0].astype(bf16), rt_n, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )                                         # [128, HB] f32
-        lin = jax.lax.dot_general(
-            jnp.concatenate([wnd[1], wnd[2], wnd[3]], axis=1).astype(bf16),
-            rt_l, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(bf16)                            # [384, HB] bf16
+        if strip == "xnomm":  # bisect: sampling matmuls off (weights live)
+            zx = jnp.concatenate([iota_x, iota_x], axis=0) * 0.0  # [128, HB]
+            nt = rt_n[0:1].astype(f32) + zx
+            lin = (rt_l[0:1] + jnp.concatenate([zx, zx, zx], axis=0
+                                               ).astype(bf16))
+        else:
+            # y-stage, transposed output: [x_window, HB]
+            nt = jax.lax.dot_general(
+                wnd[0].astype(bf16), rt_n, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )                                     # [128, HB] f32
+            lin = jax.lax.dot_general(
+                jnp.concatenate(
+                    [wnd[1], wnd[2], wnd[3]], axis=1).astype(bf16),
+                rt_l, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ).astype(bf16)                        # [384, HB] bf16
 
-        # x-stage: sublane slices (free) + fold-tree sublane sums
-        depth = subsum((nt[:WX2] + nt[WX2:]) * ct_n)             # [HB] f32
-        sil = subsum(lin[0 * WX2:1 * WX2] * ct_l).astype(f32)
-        qual = subsum(lin[1 * WX2:2 * WX2] * ct_l).astype(f32)
-        r_ = subsum(lin[2 * WX2:3 * WX2] * ct_l).astype(f32)
-        g_ = subsum(lin[3 * WX2:4 * WX2] * ct_l).astype(f32)
-        b_ = subsum(lin[4 * WX2:5 * WX2] * ct_l).astype(f32)
+        if strip == "xnoxs":  # bisect: x-stage mul+subsum off
+            depth = nt[0] * ct_n[0]
+            sil = lin[0].astype(f32) * ct_l[0].astype(f32)
+            qual, r_, g_, b_ = lin[1].astype(f32), lin[2].astype(f32), \
+                lin[3].astype(f32), lin[4].astype(f32)
+        else:
+            # x-stage: sublane slices (free) + fold-tree sublane sums
+            depth = subsum((nt[:WX2] + nt[WX2:]) * ct_n)         # [HB] f32
+            sil = subsum(lin[0 * WX2:1 * WX2] * ct_l).astype(f32)
+            qual = subsum(lin[1 * WX2:2 * WX2] * ct_l).astype(f32)
+            r_ = subsum(lin[2 * WX2:3 * WX2] * ct_l).astype(f32)
+            g_ = subsum(lin[3 * WX2:4 * WX2] * ct_l).astype(f32)
+            b_ = subsum(lin[4 * WX2:5 * WX2] * ct_l).astype(f32)
 
         cv = corner_ref[k]
         depth = jnp.where(invalid, cv[0], depth)
@@ -474,6 +501,13 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
         r_ = jnp.where(invalid, cv[3], r_)
         g_ = jnp.where(invalid, cv[4], g_)
         b_ = jnp.where(invalid, cv[5], b_)
+
+        if strip == "xnofu":  # bisect: fusion/blend chain off (accumulate)
+            wt = wt + depth
+            tw = tw + qual
+            tc = tc + jnp.stack([r_, g_, b_])
+            tcw = tcw + sflip
+            continue
 
         # TSDF update (tsdf_integration.vs:33-54)
         sdist = d_vox - depth

@@ -79,18 +79,36 @@ def _kernel(
 
     p_total = fy_ref.shape[1]
     pchunk = min(PCHUNK, p_total)
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    # pixels-in-LANES orientation (the integrate kernel's fuse_chunk_v3
+    # lesson, docs/PERF.md): transposed hat weights built from hoisted
+    # iotas, a dim0-contracting y-stage, and a sublane fold-tree x-stage —
+    # the pixel-major form paid [PCHUNK, W] weight planes and full-width
+    # lane reductions per channel
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (wh, pchunk), 0).astype(f32)
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (WXW, pchunk), 0).astype(f32)
+
+    def subsum(x):
+        n = x.shape[0]
+        while n > 1:
+            half = n // 2
+            x = x[:half] + x[half:half * 2]
+            n = half
+        return x[0]
+
     for c0 in range(0, p_total, pchunk):
-        ry = jnp.clip(fy_ref[t, c0:c0 + pchunk] - y0, 0.0, wh - 1.0)
-        rx = jnp.clip(fx_ref[t, c0:c0 + pchunk] - x0, 0.0, WXW - 1.0)
-        wyh = _hat2d(ry[:, None], wh)          # [PCHUNK, WH]
-        wxh = _hat2d(rx[:, None], WXW)         # [PCHUNK, WXW]
-        lin = jnp.dot(wyh.astype(jnp.bfloat16), qcat,
-                      preferred_element_type=jnp.float32)
-        outs = []
-        for c in range(n_ch):
-            outs.append(
-                jnp.sum(lin[:, c * WXW:(c + 1) * WXW] * wxh, axis=1)
-            )
+        ry = jnp.clip(fy_ref[t, c0:c0 + pchunk] - y0, 0.0, wh - 1.0)[None, :]
+        rx = jnp.clip(fx_ref[t, c0:c0 + pchunk] - x0, 0.0, WXW - 1.0)[None, :]
+        wy_t = jnp.maximum(1.0 - jnp.abs(ry - iota_y), 0.0).astype(bf16)
+        wx_t = jnp.maximum(1.0 - jnp.abs(rx - iota_x), 0.0)   # [WXW, P] f32
+        lin = jax.lax.dot_general(
+            qcat, wy_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                      # [n_ch*WXW, P] f32
+        outs = [
+            subsum(lin[c * WXW:(c + 1) * WXW] * wx_t) for c in range(n_ch)
+        ]
         outs += [jnp.zeros_like(outs[0])] * (CPAD - n_ch)
         out_ref[0, :, pl.ds(c0, pchunk)] = jnp.stack(outs)
 

@@ -133,24 +133,26 @@ def main():
     mask16 = timeit("brick16_mask", j16, [(vox,)], iters)
 
     # --- integrate
-    max_bricks = min(1024, (tsdf_n // 16) ** 3)
+    max_bricks = pipe.max_bricks
     if pipe._use_affine:
         from rgbd_recon_tpu.ops.tsdf_persist import integrate_affine_pallas
 
-        jint = jax.jit(lambda f_, m_, a_: integrate_affine_pallas(
-            f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks))
-        intout = timeit("integrate(persistent)", jint,
-                        [(frames, mask16, pipe.affine)], iters)
-        jraw = jax.jit(lambda f_, m_, a_: integrate_affine_pallas(
-            f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks, raw=True))
-        timeit("integrate(kernel only)", jraw, [(frames, mask16, pipe.affine)], iters)
+        if tsdf_n <= 256:   # block-major out is [NB, 32, 128]: OOM at 512^3
+            jint = jax.jit(lambda f_, m_, a_: integrate_affine_pallas(
+                f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks))
+            intout = timeit("integrate(persistent)", jint,
+                            [(frames, mask16, pipe.affine)], iters)
+            jraw = jax.jit(lambda f_, m_, a_: integrate_affine_pallas(
+                f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks, raw=True))
+            timeit("integrate(kernel only)", jraw,
+                   [(frames, mask16, pipe.affine)], iters)
         if tsdf_n % 128 == 0:
             from rgbd_recon_tpu.ops.tsdf_dense import integrate_dense_pallas
 
             jdense = jax.jit(lambda f_, m_, a_: integrate_dense_pallas(
                 f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks))
-            intout_d = timeit("integrate(dense-emit)", jdense,
-                              [(frames, mask16, pipe.affine)], iters)
+            intout = timeit("integrate(dense-emit)", jdense,
+                            [(frames, mask16, pipe.affine)], iters)
     else:
         jint = jax.jit(lambda f_, m_, t_: tsdf_fast.integrate_sparse(
             f_, t_, pipe.tsdf_cfg, m_, max_bricks=max_bricks,
@@ -158,6 +160,7 @@ def main():
         intout = timeit("integrate_sparse(xla)", jint,
                         [(frames, mask16, pipe.tables)], iters)
     vol, cvol = intout
+    chm = cvol.ndim == 4 and cvol.shape[0] == 4   # dense-emit channel-major
 
     # --- render
     axis, flip = 2, True
@@ -167,11 +170,12 @@ def main():
     cam = rm.RenderCamera(jnp.asarray(mv), jnp.asarray(proj), rw, rh)
     jsw = jax.jit(lambda v_, c_, o_: rmf.sweep(
         v_, c_, cam, bbox, pipe.tsdf_cfg.limit, axis, flip,
-        rmf.SweepConfig(res=pipe._sweep_res()), o_))
+        rmf.SweepConfig(res=pipe._sweep_res()), o_, channel_major=chm))
     timeit("sweep(only)", jsw, [(vol, cvol, occ)], iters)
     jr = jax.jit(lambda v_, c_, o_: rmf.render_fast(
         v_, c_, cam, bbox, pipe.tsdf_cfg.limit, axis, flip,
-        rm.RenderParams(), rmf.SweepConfig(res=pipe._sweep_res()), o_))
+        rm.RenderParams(), rmf.SweepConfig(res=pipe._sweep_res()), o_,
+        channel_major=chm))
     out = timeit("render_fast(full)", jr, [(vol, cvol, occ)], iters)
 
     # --- holefill

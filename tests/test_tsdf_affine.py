@@ -131,3 +131,82 @@ def test_persist_kernel_empty_scene(small_setup):
     )
     assert np.allclose(np.asarray(vol), -cfg.limit)
     assert np.allclose(np.asarray(cvol), 0.0)
+
+
+def test_dense_kernel_parity(small_setup):
+    """Dense-emit grouped kernel (interpret mode) vs the block-major
+    persistent kernel + XLA assembly: the in-kernel relayout is exact and
+    the grouped brick loop must not change a voxel. (group > 2 is
+    TPU-compile-only: the 4x-unrolled fuse graph crashes the CPU
+    interpreter; on-chip group 1/2/4/8 were A/B'd bit-identical.)"""
+    from rgbd_recon_tpu.ops.tsdf_dense import integrate_dense_pallas
+
+    bbox = small_setup["bbox"]
+    rig = small_setup["rig"]
+    warp = bake_pixel_warp(rig, 212, 256)
+    frames = pp.preprocess(
+        jnp.asarray(small_setup["depth"]), jnp.asarray(small_setup["color"]),
+        rig, warp=warp,
+    )
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    )
+    aff = tsdf_affine.bake_affine(rig, cfg)
+
+    vol_bm, cvol_bm = integrate_affine_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True
+    )
+    vol_d, cvol_d = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True, group=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(vol_d), np.asarray(vol_bm), rtol=0, atol=1e-6
+    )
+    # color: both paths store bf16; the dense kernel is channel-major
+    cd = np.abs(
+        np.asarray(cvol_d, np.float32).transpose(1, 2, 3, 0)
+        - np.asarray(cvol_bm, np.float32)
+    )
+    assert cd.max() < 1e-2, f"color max dev {cd.max():.3e}"
+
+
+def test_dense_kernel_group_tail(small_setup):
+    """Odd occupied count with group=2: the tail member clamps to the last
+    valid brick — no spurious flush, no geometry change, and the final row
+    flush lands (compare against the same scene integrated at group=1)."""
+    from rgbd_recon_tpu.ops.tsdf_dense import integrate_dense_pallas
+
+    bbox = small_setup["bbox"]
+    rig = small_setup["rig"]
+    warp = bake_pixel_warp(rig, 212, 256)
+    frames = pp.preprocess(
+        jnp.asarray(small_setup["depth"]), jnp.asarray(small_setup["color"]),
+        rig, warp=warp,
+    )
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = np.array(brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    ))
+    # force an ODD count (tail member in the last group)
+    occ_idx = np.argwhere(mask16)
+    if int(mask16.sum()) % 2 == 0:
+        mask16[tuple(occ_idx[-1])] = False
+    assert int(mask16.sum()) % 2 == 1
+    mask16 = jnp.asarray(mask16)
+    aff = tsdf_affine.bake_affine(rig, cfg)
+
+    vol_1, cvol_1 = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True, group=1
+    )
+    vol_2, cvol_2 = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True, group=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(vol_2), np.asarray(vol_1), rtol=0, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(cvol_2), np.asarray(cvol_1))
