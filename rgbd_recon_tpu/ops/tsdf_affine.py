@@ -282,3 +282,52 @@ def win_offsets_affine(tables: AffineTables, h: int, w: int,
         0, (hp - wy) & ~(yalign - 1),
     )
     return jnp.stack([y8, xb], axis=-1)
+
+
+def auto_window_rows(tables: AffineTables, h: int,
+                     wy_max: int = 48, wy_min: int = 16,
+                     quantile: float = 99.0) -> tuple[int, float]:
+    """Size the integration kernel's y window from the bake: (wy, clip_frac).
+
+    The sampling matmuls' MAC count scales linearly with the window height,
+    and the height needed scales with the projected brick footprint — half
+    per doubling of volume resolution (a brick is 16 voxels regardless).
+    The footprint's true v extent per (sensor, brick) is sampled by
+    evaluating the quadratic warp at the brick's corners/face-centers/
+    center (15 points; the quadratic bulge beyond the hull is bounded by
+    the fit residual, well under a pixel). wy covers the ``quantile`` of
+    VALID bricks plus the placement slack (up to 7 rows of 8-alignment +
+    bilinear reach), aligned up to 8 rows and clamped to
+    [wy_min, wy_max] — at 256^3 with Kinect sensors this reproduces the
+    historical fixed 48; at 512^3 it yields 32 (1/3 fewer MACs and window
+    bytes).
+
+    ``clip_frac`` is the fraction of valid (sensor, brick) pairs whose
+    extent exceeds the chosen window: those bricks sample edge-clamped
+    rows exactly as oversized footprints always have under the fixed
+    window (close-to-sensor bricks; extents up to ~400 px exist in any
+    frustum). Callers log it; it is occupancy-independent."""
+    import numpy as np
+
+    half = (BRICK - 1) / 2.0
+    pts = [(0.0, 0.0, 0.0)]
+    for s in (-half, half):
+        pts += [(s, 0.0, 0.0), (0.0, s, 0.0), (0.0, 0.0, s)]
+        for t in (-half, half):
+            pts += [(s, t, 0.0), (s, 0.0, t), (0.0, s, t)]
+    P = np.array(pts, np.float32).T              # [3, S] (lz, ly, lx)
+    lz, ly, lx = P[0], P[1], P[2]
+    sb = np.stack([np.ones_like(lz), lz, ly, lx, lz * lz, ly * ly, lx * lx,
+                   lz * ly, lz * lx, ly * lx])   # [NBASIS, S]
+    cv = np.asarray(tables.coeffs[..., 1, :])    # [K, NB, NBASIS] (v chan)
+    u0 = np.asarray(tables.coeffs[..., 0, 0])
+    v_pts = cv @ sb                              # [K, NB, S] normalized v
+    ext = (v_pts.max(-1) - v_pts.min(-1)) * h    # px
+    valid = u0 >= 0.0
+    ev = ext[valid]
+    if ev.size == 0:
+        return wy_max, 0.0
+    need = float(np.percentile(ev, quantile)) + 9.0   # align + bilinear
+    wy = int(min(max(-(-int(np.ceil(need)) // 8) * 8, wy_min), wy_max))
+    clip_frac = float((ev > wy - 9.0).mean())
+    return wy, clip_frac

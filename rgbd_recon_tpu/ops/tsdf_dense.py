@@ -86,7 +86,7 @@ def _kernel(
     cm_sems,      # DMA (2,)
     row_sems,     # DMA (2, 2)
     *, num_k: int, h: int, w: int, limit: float, nby: int, nxg: int,
-    variant: str = "v3", group: int = 2, strip: str = "",
+    variant: str = "v3", group: int = 2, strip: str = "", wy: int = WY,
 ):
     """The brick loop runs GROUPED: ``group`` bricks per fori_loop
     iteration (unrolled members), because the floor is per-ITERATION
@@ -108,7 +108,7 @@ def _kernel(
     def win_dma(b, slot, i, k):
         po = offs_ref[clamp(b) * num_k + k]
         return pltpu.make_async_copy(
-            packed_ref.at[k, po & 0xFFFF, :, pl.ds((po >> 16) * 8, WY), :],
+            packed_ref.at[k, po & 0xFFFF, :, pl.ds((po >> 16) * 8, wy), :],
             wnd_ref.at[slot, i, k],
             win_sems.at[slot],
         )
@@ -258,13 +258,19 @@ def _kernel(
                 rgb_out = pc_all[:3]
                 flag = pc_all[3]
             else:
-                fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2,
-                        "v3": fuse_chunk_v3}[variant]
-                wt, rgb_out, flag = fuse(
-                    pc_all, lambda k, _i=i: wnd_ref[slot, _i, k], po_b,
-                    corner_ref, num_k=num_k, h=h, w=w, limit=limit,
-                    strip=strip if strip.startswith("x") else "",
-                )
+                if variant == "v3":
+                    wt, rgb_out, flag = fuse_chunk_v3(
+                        pc_all, lambda k, _i=i: wnd_ref[slot, _i, k], po_b,
+                        corner_ref, num_k=num_k, h=h, w=w, limit=limit,
+                        strip=strip if strip.startswith("x") else "", wy=wy,
+                    )
+                else:
+                    fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2}[variant]
+                    wt, rgb_out, flag = fuse(
+                        pc_all, lambda k, _i=i: wnd_ref[slot, _i, k], po_b,
+                        corner_ref, num_k=num_k, h=h, w=w, limit=limit,
+                        strip=strip if strip.startswith("x") else "",
+                    )
 
             # relayout (32, 128) -> dense row order and place at the
             # brick's lane group: rows r = lz*16+ly via the row-expand
@@ -338,6 +344,7 @@ def integrate_dense_pallas(
     variant: str = "v3",
     group: int = 2,
     strip: str = "",
+    wy: int | None = None,
 ):
     """Brick-sparse fused TSDF + color, dense outputs straight from the
     kernel: (tsdf f32[Vz, Vy, Vx], color bf16[4, Vz, Vy, Vx] CHANNEL-MAJOR).
@@ -347,6 +354,9 @@ def integrate_dense_pallas(
     vx, vy, vz = cfg.res
     assert vx % 128 == 0, "dense-emit needs whole 128-lane x-rows"
     assert max_bricks % group == 0, (max_bricks, group)
+    if wy is None:
+        wy = WY
+    assert wy % 8 == 0 and (variant == "v3" or wy == WY), (wy, variant)
     nbz, nby, nbx = vz // BRICK, vy // BRICK, vx // BRICK
     nxg = nbx // XROW
     nb = nbz * nby * nbx
@@ -359,7 +369,7 @@ def integrate_dense_pallas(
     idx_list, valid_list = occupied_list(mask16, max_bricks)
     count = jnp.sum(valid_list.astype(jnp.int32))[None]     # i32[1]
     if win_off is None:
-        win_off = win_offsets_affine(affine, h, w, WY, WX2, XSTRIDE2)
+        win_off = win_offsets_affine(affine, h, w, wy, WX2, XSTRIDE2)
     offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
     # y packs as its 8-row tile index (origin / 8): the kernel multiplies
     # back by 8, which is how Mosaic proves the tile divisibility of the
@@ -398,7 +408,7 @@ def integrate_dense_pallas(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, group, num_k, 4, WY, 2 * WX2), jnp.bfloat16),
+            pltpu.VMEM((2, group, num_k, 4, wy, 2 * WX2), jnp.bfloat16),
             pltpu.VMEM((2, group, NB_PAD, 128), jnp.float32),
             pltpu.VMEM((2, BRICK, BRICK, 128), jnp.float32),
             pltpu.VMEM((2, 4, BRICK, BRICK, 128), jnp.bfloat16),
@@ -410,7 +420,7 @@ def integrate_dense_pallas(
 
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
-        nby=nby, nxg=nxg, variant=variant, group=group, strip=strip,
+        nby=nby, nxg=nxg, variant=variant, group=group, strip=strip, wy=wy,
     )
 
     vol, cvol = pl.pallas_call(

@@ -363,7 +363,7 @@ def fuse_chunk_v2(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
 
 
 def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
-                  strip: str = ""):
+                  strip: str = "", wy: int = WY):
     """``fuse_chunk_v2`` with the sampling stage TRANSPOSED: voxels live in
     LANES end-to-end.
 
@@ -404,7 +404,7 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
         y_lo = ((po_b[k] >> 16) * 8).astype(jnp.float32)
         x_lo = ((po_b[k] & 0xFFFF) * XSTRIDE2).astype(jnp.float32)
         ubx = jnp.minimum(jnp.float32(w - 1) - x_lo, WX2 - 1.0)
-        uby = jnp.minimum(jnp.float32(h - 1) - y_lo, WY - 1.0)
+        uby = jnp.minimum(jnp.float32(h - 1) - y_lo, wy - 1.0)
         hi = jnp.where(rid == 4 * k, ubx, hi)
         hi = jnp.where(rid == 4 * k + 1, uby, hi)
         ivlo = jnp.where(rid == 4 * k, -0.5 - x_lo, ivlo)
@@ -424,7 +424,7 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
     # sensors per brick): hoist the iotas out of the sensor loop, build
     # NEAREST planes as exact 0/1 comparisons (2 passes, not a hat), and
     # drop the redundant upper clip (1 - |d| <= 1 always)
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (WY, hb), 0).astype(f32)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (wy, hb), 0).astype(f32)
     iota_x = jax.lax.broadcasted_iota(jnp.int32, (WX2, hb), 0).astype(f32)
 
     def hat_t(coords_row, iota):
@@ -456,7 +456,7 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
     for k in range(num_k):
         invalid = inv3[4 * k] | inv3[4 * k + 1] | inv3[4 * k + 2]
         d_vox = pc_all[4 * k + 2]
-        rt_n = one_t(pcn[4 * k + 1:4 * k + 2], iota_y, bf16)     # [WY, HB]
+        rt_n = one_t(pcn[4 * k + 1:4 * k + 2], iota_y, bf16)     # [wy, HB]
         rt_l = hat_t(pcl[4 * k + 1:4 * k + 2], iota_y).astype(bf16)
         ct_n = one_t(pcn[4 * k:4 * k + 1], iota_x, f32)          # [WX2, HB]
         ct_l = hat_t(pcl[4 * k:4 * k + 1], iota_x).astype(bf16)
@@ -477,7 +477,7 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
                 jnp.concatenate(
                     [wnd[1], wnd[2], wnd[3]], axis=1).astype(bf16),
                 rt_l, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
+                preferred_element_type=f32,   # Mosaic: acc must be 32-bit
             ).astype(bf16)                        # [384, HB] bf16
 
         if strip == "xnoxs":  # bisect: x-stage mul+subsum off
@@ -590,7 +590,7 @@ def _kernel(
     cm_sems,      # DMA (2,)
     out_sems,     # DMA (2, 2)
     *, num_k: int, h: int, w: int, limit: float, chunks: int,
-    strip: str = "", variant: str = "v1",
+    strip: str = "", variant: str = "v1", wy: int = WY,
 ):
     HB = B3 // chunks
     count = count_ref[0]
@@ -598,7 +598,7 @@ def _kernel(
     def win_dma(b, slot, k):
         po = offs_ref[b * num_k + k]
         return pltpu.make_async_copy(
-            packed_ref.at[k, po & 0xFFFF, :, pl.ds((po >> 16) * 8, WY), :],
+            packed_ref.at[k, po & 0xFFFF, :, pl.ds((po >> 16) * 8, wy), :],
             wnd_ref.at[slot, k],
             win_sems.at[slot, k],
         )
@@ -672,12 +672,17 @@ def _kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )                                     # [K*4, HB]
-            fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2,
-                    "v3": fuse_chunk_v3}[variant]
-            wt, rgb_out, flag = fuse(
-                pc_all, lambda k: wnd_ref[slot, k], po_b, corner_ref,
-                num_k=num_k, h=h, w=w, limit=limit, strip=strip,
-            )
+            if variant == "v3":
+                wt, rgb_out, flag = fuse_chunk_v3(
+                    pc_all, lambda k: wnd_ref[slot, k], po_b, corner_ref,
+                    num_k=num_k, h=h, w=w, limit=limit, strip=strip, wy=wy,
+                )
+            else:
+                fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2}[variant]
+                wt, rgb_out, flag = fuse(
+                    pc_all, lambda k: wnd_ref[slot, k], po_b, corner_ref,
+                    num_k=num_k, h=h, w=w, limit=limit, strip=strip,
+                )
             hrows = HB // 128
             vblk_ref[slot, pl.ds(ch * hrows, hrows), :] = wt.reshape(hrows, 128)
             cblk_ref[slot, :, pl.ds(ch * hrows, hrows), :] = jnp.concatenate(
@@ -718,6 +723,7 @@ def integrate_affine_pallas(
     chunks: int = 1,
     strip: str = "",
     variant: str = "v3",
+    wy: int | None = None,
 ):
     """Brick-sparse fused TSDF + color volumes from affine warp coefficients.
 
@@ -732,8 +738,11 @@ def integrate_affine_pallas(
     vx, vy, vz = cfg.res
     nb = (vx // BRICK) * (vy // BRICK) * (vz // BRICK)
     assert affine.coeffs.shape[1] == nb, (affine.coeffs.shape, cfg.res)
-    if strip:
-        variant = "v1"   # the bisect strips live in the v1 fuse path
+    if strip and not strip.startswith("x"):
+        variant = "v1"   # the legacy bisect strips live in the v1 fuse path
+    if wy is None:
+        wy = WY
+    assert wy % 8 == 0 and (variant == "v3" or wy == WY), (wy, variant)
     packed = pack_frames(frames)                 # [K, H, W, 6]
     num_k, h, w, _ = packed.shape
     packed_xb = expand_xblocks_pairs(pack_pairs(packed))
@@ -742,7 +751,7 @@ def integrate_affine_pallas(
     idx_list, valid_list = occupied_list(mask16, max_bricks)
     count = jnp.sum(valid_list.astype(jnp.int32))[None]     # i32[1]
     if win_off is None:
-        win_off = win_offsets_affine(affine, h, w, WY, WX2, XSTRIDE2)
+        win_off = win_offsets_affine(affine, h, w, wy, WX2, XSTRIDE2)
     offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
     # y packs as its 8-row tile index (origin / 8): the kernel multiplies
     # back by 8, which is how Mosaic proves the tile divisibility of the
@@ -777,7 +786,7 @@ def integrate_affine_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, num_k, 4, WY, 2 * WX2), jnp.float32),
+            pltpu.VMEM((2, num_k, 4, wy, 2 * WX2), jnp.float32),
             pltpu.VMEM((2, NB_PAD, 128), jnp.float32),
             pltpu.VMEM((2, 32, 128), jnp.float32),
             pltpu.VMEM((2, 4, 32, 128), jnp.bfloat16),
@@ -789,7 +798,7 @@ def integrate_affine_pallas(
 
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
-        chunks=chunks, strip=strip, variant=variant,
+        chunks=chunks, strip=strip, variant=variant, wy=wy,
     )
 
     vol_bm, cvol_bm = pl.pallas_call(

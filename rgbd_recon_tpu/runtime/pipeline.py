@@ -397,14 +397,14 @@ class FramePipeline:
                 return integrate_dense_pallas(
                     frames, tables, self.tsdf_cfg, mask16,
                     max_bricks=min(self.max_bricks, total_bricks),
-                    win_off=win_off,
+                    win_off=win_off, wy=self._window_rows(),
                 )
             from ..ops.tsdf_persist import integrate_affine_pallas
 
             return integrate_affine_pallas(
                 frames, tables, self.tsdf_cfg, mask16,
                 max_bricks=min(self.max_bricks, total_bricks),
-                win_off=win_off,
+                win_off=win_off, wy=self._window_rows(),
             )
         if self._use_pallas():
             from ..ops.tsdf_pallas import integrate_sparse_pallas
@@ -439,6 +439,29 @@ class FramePipeline:
             self._tables_kernel = jax.jit(kernel_tables)(self.tables)
         return self._tables_kernel
 
+    def _window_rows(self) -> int:
+        """Auto-sized integration window height (ops/tsdf_affine
+        .auto_window_rows): covers p99 of valid-brick footprints — the
+        historical fixed 48 at 256^3, 32 at 512^3 (1/3 fewer sampling-
+        matmul MACs and window-DMA bytes per brick). Cached; logs the
+        oversized-footprint fraction once (those bricks edge-clamp exactly
+        as they always have under the fixed window)."""
+        if not (self._use_affine and self.use_fast):
+            return 48
+        if getattr(self, "_wy_sensor_h", None) is None:
+            return 48   # sensor size unknown until the first _get_win_off
+        if getattr(self, "_wy", None) is None:
+            from ..ops.tsdf_affine import auto_window_rows
+
+            self._wy, clip_frac = auto_window_rows(
+                self.affine, self._wy_sensor_h
+            )
+            self._log(
+                f"integration window: {self._wy} rows "
+                f"(oversized-footprint bricks: {clip_frac:.2%})"
+            )
+        return self._wy
+
     def _get_win_off(self, h: int, w: int):
         """Cached per-brick window origins for the sensor size (pure
         function of the calibration tables; ~1 ms to derive on device)."""
@@ -447,11 +470,12 @@ class FramePipeline:
         if getattr(self, "_win_off_hw", None) != (h, w):
             if self._use_affine:
                 from ..ops.tsdf_affine import win_offsets_affine
-                from ..ops.tsdf_pallas import WY, WX2, XSTRIDE2
+                from ..ops.tsdf_pallas import WX2, XSTRIDE2
 
+                self._wy_sensor_h = h
                 self._win_off = jax.jit(
                     win_offsets_affine, static_argnums=(1, 2, 3, 4, 5)
-                )(self.affine, h, w, WY, WX2, XSTRIDE2)
+                )(self.affine, h, w, self._window_rows(), WX2, XSTRIDE2)
             elif self._use_pallas():
                 from ..ops.tsdf_pallas import win_offsets_pallas
 

@@ -210,3 +210,45 @@ def test_dense_kernel_group_tail(small_setup):
         np.asarray(vol_2), np.asarray(vol_1), rtol=0, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(cvol_2), np.asarray(cvol_1))
+
+
+def test_auto_window_rows(small_setup):
+    """Window auto-sizing: 8-aligned, within [16, 48], covers the p99
+    valid-brick footprint, and wy != 48 integrates identically to the
+    fixed window (the offsets re-center; only coverage margin changes)."""
+    from rgbd_recon_tpu.ops.tsdf_affine import auto_window_rows
+    from rgbd_recon_tpu.ops.tsdf_dense import integrate_dense_pallas
+
+    bbox = small_setup["bbox"]
+    rig = small_setup["rig"]
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    aff = tsdf_affine.bake_affine(rig, cfg)
+    wy, clip_frac = auto_window_rows(aff, 212)
+    assert wy % 8 == 0 and 16 <= wy <= 48
+    # clip_frac at the wy_max clamp reports the FIXED window's pre-existing
+    # coverage risk (large at this coarse 128^3/212px fixture); it must be
+    # a sane fraction, and a smaller-than-max window must keep it modest
+    assert 0.0 <= clip_frac < 0.5
+    if wy < 48:
+        assert clip_frac < 0.02
+
+    if wy == 48:
+        return  # fixed window; nothing further to compare
+    warp = bake_pixel_warp(rig, 212, 256)
+    frames = pp.preprocess(
+        jnp.asarray(small_setup["depth"]), jnp.asarray(small_setup["color"]),
+        rig, warp=warp,
+    )
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    )
+    vol_48, _ = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True, wy=48
+    )
+    vol_wy, _ = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True, wy=wy
+    )
+    d = np.abs(np.asarray(vol_wy) - np.asarray(vol_48))
+    assert (d > 1e-4).mean() < 1e-4, f"{(d > 1e-4).mean():.2e} deviate"
