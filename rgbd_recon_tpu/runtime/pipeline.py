@@ -228,6 +228,7 @@ class FramePipeline:
         self._win_off_hw = None
         self._win_off = None
         self._tables_kernel = None
+        self._wy = None   # auto window height is a function of the bake
 
     def retune(self, voxel_size: float | None = None,
                brick_size: float | None = None,
@@ -457,8 +458,10 @@ class FramePipeline:
                 self.affine, self._wy_sensor_h
             )
             self._log(
-                f"integration window: {self._wy} rows "
-                f"(oversized-footprint bricks: {clip_frac:.2%})"
+                f"integration window: {self._wy} rows (valid bricks with "
+                f"oversized footprints: {clip_frac:.2%} — close-to-sensor "
+                f"frustum bricks that edge-clamp, as under the fixed "
+                f"window; occupied-brick footprints are far smaller)"
             )
         return self._wy
 

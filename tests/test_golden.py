@@ -67,3 +67,56 @@ def test_render_parity_golden(small_rig):
         assert s["ssim_rgb"] > 0.95, (eye_off, s)
         assert s["depth_err_med"] < 2e-3, (eye_off, s)
         assert s["depth_err_p99"] < 2e-2, (eye_off, s)
+
+
+@pytest.mark.full
+def test_integration_parity_golden(small_rig):
+    """Image-space A/B of the INTEGRATION paths (VERDICT r4 weak #3): the
+    affine fast-path volume vs the exact-table-path volume, rendered
+    through the SAME renderer — the quadratic-fit gate flips (~1e-4 of
+    voxels moving up to 2x limit) must be invisible at image level."""
+    from rgbd_recon_tpu.ops import bricks as brick_ops, tsdf_fast
+    from rgbd_recon_tpu.ops import tsdf_affine
+    from rgbd_recon_tpu.ops.tsdf_persist import integrate_affine_pallas
+    from rgbd_recon_tpu.ops.warp import bake_pixel_warp
+
+    rig = small_rig["rig"]
+    bbox = small_rig["bbox"]
+    warp = bake_pixel_warp(rig, 212, 256)
+    frames = pp.preprocess(
+        jnp.asarray(small_rig["depth"]), jnp.asarray(small_rig["color"]),
+        rig, warp=warp,
+    )
+    cfg = tsdf_ops.TsdfConfig(res=(128, 128, 128), limit=0.01)
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    )
+
+    tables = tsdf_fast.precompute_tables(rig, cfg)
+    vol_tab, cvol_tab = tsdf_fast.integrate_sparse(
+        frames, tables, cfg, mask16, max_bricks=128, window=64
+    )
+    aff = tsdf_affine.bake_affine(rig, cfg)
+    vol_aff, cvol_aff = integrate_affine_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True
+    )
+
+    w, h = 320, 240
+    center = (bbox.min + bbox.max) * 0.5
+    proj = perspective(50.0, w / h, 0.1, 200.0)
+    for eye_off in ([0.15, 0.25, 2.4], [1.4, 0.9, 2.0]):
+        eye = center + np.asarray(eye_off, np.float32)
+        mv = look_at(eye, center, [0, 1, 0]).astype(np.float32)
+        cam = rm.RenderCamera(jnp.asarray(mv), jnp.asarray(proj), w, h)
+        axis, flip = rmf.pick_axis(mv, rm.vol_to_world_matrix(bbox))
+        r_tab = rmf.render_fast(vol_tab, cvol_tab, cam, bbox, cfg.limit,
+                                axis, flip)
+        r_aff = rmf.render_fast(vol_aff, cvol_aff, cam, bbox, cfg.limit,
+                                axis, flip)
+        s = render_parity(r_tab, r_aff)
+        assert s["hit_agreement"] > 0.998, (eye_off, s)
+        assert s["psnr_rgb"] > 33.0, (eye_off, s)
+        assert s["ssim_rgb"] > 0.97, (eye_off, s)
+        assert s["depth_err_med"] < 2e-3, (eye_off, s)
