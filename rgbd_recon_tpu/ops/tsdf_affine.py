@@ -331,3 +331,52 @@ def auto_window_rows(tables: AffineTables, h: int,
     wy = int(min(max(-(-int(np.ceil(need)) // 8) * 8, wy_min), wy_max))
     clip_frac = float((ev > wy - 9.0).mean())
     return wy, clip_frac
+
+
+def auto_window_cols(tables: AffineTables, w: int,
+                     quantile: float = 99.0) -> tuple[int, int, float]:
+    """Size the integration kernel's x window from the bake:
+    (wx, xstride, clip_frac).
+
+    Unlike the y window (pure DMA bytes), the x window sets the sampling
+    matmuls' OUTPUT rows (2*wx lanes per channel pair) and the x-stage
+    array heights — the kernel's two dominant compute terms scale
+    linearly with it (docs/PERF.md round-4 bisect). The paired-channel
+    lane tile is either a full 128 lanes (wx=64, xstride=16 — the
+    historical layout) or a half tile (wx=32), taken when the
+    ``quantile`` u extent of valid bricks + placement slack fits 32 px.
+    The half tile comes in two strides: 8 (same total packed-x-block
+    bytes: 2x blocks x half lanes) and, when only the stride-8 origin
+    quantization slack (7 px) is what overflows, 4 (2x the packed
+    blocks — a once-per-frame relayout — for 4 px tighter placement;
+    this is what unlocks 32 px at 512^3, where the bench rig's p99
+    extent is ~24 px).
+
+    ``clip_frac`` as in auto_window_rows: oversized footprints edge-clamp,
+    the fixed window's pre-existing behaviour."""
+    import numpy as np
+
+    half = (BRICK - 1) / 2.0
+    pts = [(0.0, 0.0, 0.0)]
+    for s in (-half, half):
+        pts += [(s, 0.0, 0.0), (0.0, s, 0.0), (0.0, 0.0, s)]
+        for t in (-half, half):
+            pts += [(s, t, 0.0), (s, 0.0, t), (0.0, s, t)]
+    P = np.array(pts, np.float32).T
+    lz, ly, lx = P[0], P[1], P[2]
+    sb = np.stack([np.ones_like(lz), lz, ly, lx, lz * lz, ly * ly, lx * lx,
+                   lz * ly, lz * lx, ly * lx])
+    cu = np.asarray(tables.coeffs[..., 0, :])    # [K, NB, NBASIS] (u chan)
+    u0 = cu[..., 0]
+    u_pts = cu @ sb                              # [K, NB, S] normalized u
+    ext = (u_pts.max(-1) - u_pts.min(-1)) * w    # px
+    ev = ext[u0 >= 0.0]
+    if ev.size == 0:
+        return 64, 16, 0.0
+    # slack: (xstride - 1) origin quantization + 2 bilinear reach
+    p = float(np.percentile(ev, quantile))
+    if p + 7.0 + 2.0 <= 32.0:
+        return 32, 8, float((ev > 32 - 9.0).mean())
+    if p + 3.0 + 2.0 <= 32.0:
+        return 32, 4, float((ev > 32 - 5.0).mean())
+    return 64, 16, float((ev > 64 - 17.0).mean())

@@ -87,6 +87,7 @@ def _kernel(
     row_sems,     # DMA (2, 2)
     *, num_k: int, h: int, w: int, limit: float, nby: int, nxg: int,
     variant: str = "v3", group: int = 2, strip: str = "", wy: int = WY,
+    wx: int = WX2, xstride: int = XSTRIDE2,
 ):
     """The brick loop runs GROUPED: ``group`` bricks per fori_loop
     iteration (unrolled members), because the floor is per-ITERATION
@@ -229,13 +230,13 @@ def _kernel(
 
             if strip == "dmaonly":
                 # BENCHMARK-ONLY: DMA pipeline + row flushes, compute off.
-                wtouch = sum(
+                wtouch = jnp.sum(sum(
                     wnd_ref[slot, i, k, 0, 0:1, :].astype(jnp.float32)
                     for k in range(num_k)
-                ) + cmbuf_ref[slot, i, 0:1, 0:128].reshape(1, 128)
+                )) + jnp.sum(cmbuf_ref[slot, i, 0:1, 0:128])
                 rowv_ref[rslot, 0:1] = jnp.where(
-                    valid, jnp.tile(wtouch, (BRICK, 1)).reshape(
-                        1, BRICK, 128), rowv_ref[rslot, 0:1])
+                    valid, jnp.zeros((1, BRICK, 128), jnp.float32) + wtouch,
+                    rowv_ref[rslot, 0:1])
                 continue
 
             po_b = [offs_ref[clamp(b) * num_k + k] for k in range(num_k)]
@@ -263,6 +264,7 @@ def _kernel(
                         pc_all, lambda k, _i=i: wnd_ref[slot, _i, k], po_b,
                         corner_ref, num_k=num_k, h=h, w=w, limit=limit,
                         strip=strip if strip.startswith("x") else "", wy=wy,
+                        wx=wx, xstride=xstride,
                     )
                 else:
                     fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2}[variant]
@@ -345,6 +347,8 @@ def integrate_dense_pallas(
     group: int = 2,
     strip: str = "",
     wy: int | None = None,
+    wx: int | None = None,
+    xstride: int | None = None,
 ):
     """Brick-sparse fused TSDF + color, dense outputs straight from the
     kernel: (tsdf f32[Vz, Vy, Vx], color bf16[4, Vz, Vy, Vx] CHANNEL-MAJOR).
@@ -356,20 +360,27 @@ def integrate_dense_pallas(
     assert max_bricks % group == 0, (max_bricks, group)
     if wy is None:
         wy = WY
+    if wx is None:
+        wx = WX2
+    if xstride is None:
+        xstride = XSTRIDE2
     assert wy % 8 == 0 and (variant == "v3" or wy == WY), (wy, variant)
+    assert wx in (32, 64) and xstride in (4, 8, 16), (wx, xstride)
+    assert variant == "v3" or (wx == WX2 and xstride == XSTRIDE2), variant
     nbz, nby, nbx = vz // BRICK, vy // BRICK, vx // BRICK
     nxg = nbx // XROW
     nb = nbz * nby * nbx
     assert affine.coeffs.shape[1] == nb, (affine.coeffs.shape, cfg.res)
     packed = pack_frames(frames)                 # [K, H, W, 6]
     num_k, h, w, _ = packed.shape
-    packed_xb = expand_xblocks_pairs(pack_pairs(packed), dtype=jnp.bfloat16)
+    packed_xb = expand_xblocks_pairs(pack_pairs(packed), dtype=jnp.bfloat16,
+                                     wx=wx, xstride=xstride)
     corner = jnp.pad(packed[:, 0, 0, :], ((0, 0), (0, 2)))  # [K, 8]
 
     idx_list, valid_list = occupied_list(mask16, max_bricks)
     count = jnp.sum(valid_list.astype(jnp.int32))[None]     # i32[1]
     if win_off is None:
-        win_off = win_offsets_affine(affine, h, w, wy, WX2, XSTRIDE2)
+        win_off = win_offsets_affine(affine, h, w, wy, wx, xstride)
     offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
     # y packs as its 8-row tile index (origin / 8): the kernel multiplies
     # back by 8, which is how Mosaic proves the tile divisibility of the
@@ -379,7 +390,7 @@ def integrate_dense_pallas(
     cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
     cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
     if variant in ("v2", "v3"):
-        cmats = fold_window_coords(cmats, offs3, num_k, h, w)
+        cmats = fold_window_coords(cmats, offs3, num_k, h, w, xstride=xstride)
     cmats = jnp.pad(
         cmats, ((0, 0), (0, NB_PAD - NBASIS), (0, 128 - num_k * 4))
     )
@@ -408,7 +419,7 @@ def integrate_dense_pallas(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, group, num_k, 4, wy, 2 * WX2), jnp.bfloat16),
+            pltpu.VMEM((2, group, num_k, 4, wy, 2 * wx), jnp.bfloat16),
             pltpu.VMEM((2, group, NB_PAD, 128), jnp.float32),
             pltpu.VMEM((2, BRICK, BRICK, 128), jnp.float32),
             pltpu.VMEM((2, 4, BRICK, BRICK, 128), jnp.bfloat16),
@@ -421,6 +432,7 @@ def integrate_dense_pallas(
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
         nby=nby, nxg=nxg, variant=variant, group=group, strip=strip, wy=wy,
+        wx=wx, xstride=xstride,
     )
 
     vol, cvol = pl.pallas_call(

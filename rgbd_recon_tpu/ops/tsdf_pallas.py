@@ -92,10 +92,16 @@ def pack_pairs(packed: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def expand_xblocks_pairs(ch8: jnp.ndarray, dtype=None) -> jnp.ndarray:
+def expand_xblocks_pairs(ch8: jnp.ndarray, dtype=None,
+                         wx: int = WX2, xstride: int = XSTRIDE2) -> jnp.ndarray:
     """[K, 8, H, W] channel planes -> overlapping channel-paired x-blocks
-    f32[K, NXB2, 4, Hp, 128] (stride XSTRIDE2): block j, group g holds
-    channels (2g, 2g+1) in lane halves [x | 64 + x], x = j*16 .. j*16+63.
+    f32[K, NXB2, 4, Hp, 2*wx] (stride ``xstride``): block j, group g holds
+    channels (2g, 2g+1) in lane halves [x | wx + x], x = j*xstride ..
+    j*xstride + wx - 1. Defaults reproduce the historical 64-px/stride-16
+    layout; (wx=32, xstride=8 or 4) are the half-tile layouts
+    auto_window_cols picks at high volume resolutions (stride 8 keeps
+    the total bytes of the stride-16 layout; stride 4 doubles them for
+    tighter window placement).
 
     H pads up to a multiple of 8 (edge mode ≙ GL CLAMP_TO_EDGE) so window
     DMAs near the bottom edge stay in-bounds; W pads to the stride so
@@ -109,17 +115,17 @@ def expand_xblocks_pairs(ch8: jnp.ndarray, dtype=None) -> jnp.ndarray:
     if dtype is not None:
         ch8 = ch8.astype(dtype)
     hp = -(-h // 8) * 8
-    wp = max(-(-w // XSTRIDE2) * XSTRIDE2, WX2)
+    wp = max(-(-w // xstride) * xstride, wx)
     ch8 = jnp.pad(ch8, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)),
                   mode="edge")
-    nxb = (wp - WX2) // XSTRIDE2 + 1
+    nxb = (wp - wx) // xstride + 1
     blocks = []
     for j in range(nxb):
-        sl = ch8[..., j * XSTRIDE2 : j * XSTRIDE2 + WX2]   # [K, 8, Hp, 64]
+        sl = ch8[..., j * xstride : j * xstride + wx]      # [K, 8, Hp, wx]
         blocks.append(
-            sl.reshape(k, 4, 2, hp, WX2)
+            sl.reshape(k, 4, 2, hp, wx)
             .transpose(0, 1, 3, 2, 4)
-            .reshape(k, 4, hp, 2 * WX2)
+            .reshape(k, 4, hp, 2 * wx)
         )
     return jnp.stack(blocks, axis=1)
 

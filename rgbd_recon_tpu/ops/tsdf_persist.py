@@ -363,7 +363,8 @@ def fuse_chunk_v2(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
 
 
 def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
-                  strip: str = "", wy: int = WY):
+                  strip: str = "", wy: int = WY, wx: int = WX2,
+                  xstride: int = XSTRIDE2):
     """``fuse_chunk_v2`` with the sampling stage TRANSPOSED: voxels live in
     LANES end-to-end.
 
@@ -402,8 +403,8 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
     ivhi = zc
     for k in range(num_k):
         y_lo = ((po_b[k] >> 16) * 8).astype(jnp.float32)
-        x_lo = ((po_b[k] & 0xFFFF) * XSTRIDE2).astype(jnp.float32)
-        ubx = jnp.minimum(jnp.float32(w - 1) - x_lo, WX2 - 1.0)
+        x_lo = ((po_b[k] & 0xFFFF) * xstride).astype(jnp.float32)
+        ubx = jnp.minimum(jnp.float32(w - 1) - x_lo, wx - 1.0)
         uby = jnp.minimum(jnp.float32(h - 1) - y_lo, wy - 1.0)
         hi = jnp.where(rid == 4 * k, ubx, hi)
         hi = jnp.where(rid == 4 * k + 1, uby, hi)
@@ -425,7 +426,7 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
     # NEAREST planes as exact 0/1 comparisons (2 passes, not a hat), and
     # drop the redundant upper clip (1 - |d| <= 1 always)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (wy, hb), 0).astype(f32)
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (WX2, hb), 0).astype(f32)
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, hb), 0).astype(f32)
 
     def hat_t(coords_row, iota):
         """[1, HB] coords -> transposed hat weights (taps in sublanes,
@@ -487,12 +488,12 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
                 lin[3].astype(f32), lin[4].astype(f32)
         else:
             # x-stage: sublane slices (free) + fold-tree sublane sums
-            depth = subsum((nt[:WX2] + nt[WX2:]) * ct_n)         # [HB] f32
-            sil = subsum(lin[0 * WX2:1 * WX2] * ct_l).astype(f32)
-            qual = subsum(lin[1 * WX2:2 * WX2] * ct_l).astype(f32)
-            r_ = subsum(lin[2 * WX2:3 * WX2] * ct_l).astype(f32)
-            g_ = subsum(lin[3 * WX2:4 * WX2] * ct_l).astype(f32)
-            b_ = subsum(lin[4 * WX2:5 * WX2] * ct_l).astype(f32)
+            depth = subsum((nt[:wx] + nt[wx:]) * ct_n)           # [HB] f32
+            sil = subsum(lin[0 * wx:1 * wx] * ct_l).astype(f32)
+            qual = subsum(lin[1 * wx:2 * wx] * ct_l).astype(f32)
+            r_ = subsum(lin[2 * wx:3 * wx] * ct_l).astype(f32)
+            g_ = subsum(lin[3 * wx:4 * wx] * ct_l).astype(f32)
+            b_ = subsum(lin[4 * wx:5 * wx] * ct_l).astype(f32)
 
         cv = corner_ref[k]
         depth = jnp.where(invalid, cv[0], depth)
@@ -547,7 +548,8 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
 
 
 def fold_window_coords(cmats: jnp.ndarray, offs3: jnp.ndarray, num_k: int,
-                       h: int, w: int) -> jnp.ndarray:
+                       h: int, w: int,
+                       xstride: int = XSTRIDE2) -> jnp.ndarray:
     """Fold the window-relative pixel transform into the warp coefficients
     (fuse_chunk_v2's prep): u -> u*w - 0.5 - x_lo, v -> v*h - 0.5 - y_lo.
     ``cmats`` [MB, NBASIS, K*4] channel-lane order (u, v, d, pad) per
@@ -555,7 +557,7 @@ def fold_window_coords(cmats: jnp.ndarray, offs3: jnp.ndarray, num_k: int,
     mb = cmats.shape[0]
     scale = jnp.tile(jnp.array([w, h, 1.0, 1.0], jnp.float32), num_k)
     cmats = cmats * scale[None, None, :]
-    x_lo = offs3[..., 1].astype(jnp.float32) * XSTRIDE2      # [MB, K]
+    x_lo = offs3[..., 1].astype(jnp.float32) * xstride       # [MB, K]
     y_lo = offs3[..., 0].astype(jnp.float32)
     off = jnp.stack(
         [x_lo + 0.5, y_lo + 0.5, jnp.zeros_like(x_lo), jnp.zeros_like(x_lo)],

@@ -229,6 +229,7 @@ class FramePipeline:
         self._win_off = None
         self._tables_kernel = None
         self._wy = None   # auto window height is a function of the bake
+        self._wxs = None  # auto (x width, x stride) likewise
 
     def retune(self, voxel_size: float | None = None,
                brick_size: float | None = None,
@@ -395,10 +396,12 @@ class FramePipeline:
                 # pure relayout at 256^3, docs/PERF.md)
                 from ..ops.tsdf_dense import integrate_dense_pallas
 
+                wx, xstride = self._window_cols()
                 return integrate_dense_pallas(
                     frames, tables, self.tsdf_cfg, mask16,
                     max_bricks=min(self.max_bricks, total_bricks),
                     win_off=win_off, wy=self._window_rows(),
+                    wx=wx, xstride=xstride,
                 )
             from ..ops.tsdf_persist import integrate_affine_pallas
 
@@ -465,6 +468,42 @@ class FramePipeline:
             )
         return self._wy
 
+    def _window_cols(self) -> tuple[int, int]:
+        """Auto-sized integration x window (ops/tsdf_affine
+        .auto_window_cols): (wx, xstride) = (64, 16) — the historical
+        paired-channel full lane tile — or the half tile (32, stride 8 or
+        4) when the p99 u footprint fits, e.g. 512^3 where footprints
+        halve. Unlike wy
+        (DMA bytes only), wx sets the sampling matmuls' output rows and
+        the x-stage array heights — the kernel's two dominant compute
+        terms. Dense-emit path only (the block-major fallback keeps the
+        fixed layout)."""
+        # GATED to the full tile until the quad-packed window layout
+        # lands: Mosaic requires window DMA slices lane-aligned to 128,
+        # so the half tile's [wy, 64] copies are chip-illegal (verified
+        # on-device; interpret mode accepts them, which is what the
+        # parity tests exercise). auto_window_cols + the parameterized
+        # kernel are the groundwork; flipping this on needs
+        # expand_xblocks packing FOUR 32-px channels per 128-lane plane.
+        if True:
+            return 64, 16
+        if not (self._use_affine and self.use_fast and self._dense_emit):
+            return 64, 16
+        if getattr(self, "_wx_sensor_w", None) is None:
+            return 64, 16  # sensor size unknown until the first _get_win_off
+        if getattr(self, "_wxs", None) is None:
+            from ..ops.tsdf_affine import auto_window_cols
+
+            wx, xstride, clip_frac = auto_window_cols(
+                self.affine, self._wx_sensor_w
+            )
+            self._wxs = (wx, xstride)
+            self._log(
+                f"integration window: {wx} cols at stride {xstride} "
+                f"(oversized-u footprints: {clip_frac:.2%})"
+            )
+        return self._wxs
+
     def _get_win_off(self, h: int, w: int):
         """Cached per-brick window origins for the sensor size (pure
         function of the calibration tables; ~1 ms to derive on device)."""
@@ -473,12 +512,13 @@ class FramePipeline:
         if getattr(self, "_win_off_hw", None) != (h, w):
             if self._use_affine:
                 from ..ops.tsdf_affine import win_offsets_affine
-                from ..ops.tsdf_pallas import WX2, XSTRIDE2
 
                 self._wy_sensor_h = h
+                self._wx_sensor_w = w
+                wx, xstride = self._window_cols()
                 self._win_off = jax.jit(
                     win_offsets_affine, static_argnums=(1, 2, 3, 4, 5)
-                )(self.affine, h, w, self._window_rows(), WX2, XSTRIDE2)
+                )(self.affine, h, w, self._window_rows(), wx, xstride)
             elif self._use_pallas():
                 from ..ops.tsdf_pallas import win_offsets_pallas
 

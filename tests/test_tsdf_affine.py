@@ -252,3 +252,78 @@ def test_auto_window_rows(small_setup):
     )
     d = np.abs(np.asarray(vol_wy) - np.asarray(vol_48))
     assert (d > 1e-4).mean() < 1e-4, f"{(d > 1e-4).mean():.2e} deviate"
+
+
+def test_auto_window_cols_policy():
+    """The x-window policy on synthetic coefficient tables: small linear u
+    slopes -> the half-tile (32, 8) layout; large -> the full (64, 16)."""
+    from rgbd_recon_tpu.ops.tsdf_affine import auto_window_cols, AffineTables
+
+    def tables(slope_px, w=512):
+        # u = u0 + slope * lx (normalized); extent over +-7.5 voxels
+        c = np.zeros((1, 64, 4, 10), np.float32)
+        c[..., 0, 0] = 0.5                       # valid marker (u0 >= 0)
+        c[..., 0, 3] = slope_px / w / 15.0       # full extent = slope_px
+        return AffineTables(
+            coeffs=jnp.asarray(c), max_err=jnp.zeros(4),
+            edge_err=jnp.zeros(4), n_cliff=jnp.zeros((), jnp.int32),
+        )
+
+    wx, xs, clip = auto_window_cols(tables(20.0), 512)
+    assert (wx, xs) == (32, 8) and clip == 0.0
+    wx, xs, clip = auto_window_cols(tables(25.0), 512)
+    assert (wx, xs) == (32, 4) and clip == 0.0  # only stride-8 slack overflowed
+    wx, xs, _ = auto_window_cols(tables(30.0), 512)
+    assert (wx, xs) == (64, 16)
+
+
+def test_auto_window_cols_parity():
+    """Half-tile x windows (wx=32, xstride=8) integrate identically to the
+    fixed (64, 16) layout when footprints fit — a narrow 128x104 sensor
+    keeps the p99 u extent under 23 px at this brick scale (96x80 sensor)."""
+    from rgbd_recon_tpu.ops.tsdf_affine import auto_window_cols
+    from rgbd_recon_tpu.ops.tsdf_dense import integrate_dense_pallas
+
+    bbox = Bbox.default()
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=2, bbox=bbox, fwd_res=(32, 48, 32), inv_res=(48, 48, 48),
+        width=96, height=80,
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    aff = tsdf_affine.bake_affine(rig, cfg)
+    wx, xs, clip_frac = auto_window_cols(aff, 96)
+    assert (wx, xs) == (32, 8), (wx, xs, clip_frac)
+    assert clip_frac < 0.02
+
+    warp = bake_pixel_warp(rig, 80, 96)
+    frames = pp.preprocess(
+        jnp.asarray(depth), jnp.asarray(color), rig, warp=warp,
+    )
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    )
+    vol_64, cv_64 = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True,
+        wx=64, xstride=16,
+    )
+    vol_32, cv_32 = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True,
+        wx=32, xstride=8,
+    )
+    d = np.abs(np.asarray(vol_32) - np.asarray(vol_64))
+    assert (d > 1e-4).mean() < 1e-4, f"{(d > 1e-4).mean():.2e} deviate"
+    dc = np.abs(np.asarray(cv_32, np.float32) - np.asarray(cv_64, np.float32))
+    assert (dc > 1e-2).mean() < 1e-4
+    # the stride-4 variant (2x packed blocks, tighter placement) likewise
+    vol_s4, cv_s4 = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True,
+        wx=32, xstride=4,
+    )
+    d = np.abs(np.asarray(vol_s4) - np.asarray(vol_64))
+    assert (d > 1e-4).mean() < 1e-4, f"{(d > 1e-4).mean():.2e} deviate"
+    dc = np.abs(np.asarray(cv_s4, np.float32) - np.asarray(cv_64, np.float32))
+    assert (dc > 1e-2).mean() < 1e-4
