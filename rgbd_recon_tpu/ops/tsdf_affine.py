@@ -251,37 +251,65 @@ def expand_affine(tables: AffineTables) -> IntegrationTables:
     return IntegrationTables(pos_blocked=pos)
 
 
+def _hull_basis() -> np.ndarray:
+    """f32[NBASIS, 27]: the quadratic basis at the 27 points {-7.5, 0,
+    7.5}^3 of a brick. The footprint of the quadratic warp over the brick
+    is bounded (to fit accuracy; the pairwise-quadratic's extremes sit at
+    corners/edge-midpoints for warps whose linear term dominates) by the
+    min/max over these samples — used for window placement and sizing."""
+    g = np.array([-(BRICK - 1) / 2.0, 0.0, (BRICK - 1) / 2.0], np.float32)
+    lz, ly, lx = [a.ravel() for a in np.meshgrid(g, g, g, indexing="ij")]
+    return np.stack([np.ones_like(lz), lz, ly, lx, lz * lz, ly * ly,
+                     lx * lx, lz * ly, lz * lx, ly * lx])
+
+
 def win_offsets_affine(tables: AffineTables, h: int, w: int,
                        wy: int, wx: int, xstride: int,
                        yalign: int = 8) -> jnp.ndarray:
     """Per-brick per-sensor window selectors i32[K, NB, 2] (y_origin, xb)
-    from the affine coefficients alone: the footprint midpoint of a brick's
-    valid projections is (to affine accuracy) the center coefficient.
-    Matches tsdf_pallas.win_offsets_pallas's quantization (y origins
-    ``yalign``-aligned, x an overlapping block index of width ``wx`` at
-    stride ``xstride``). ``yalign=16`` for the bf16 pairs layout
-    (expand_xblocks_pairs), whose padded image height the y clamp uses."""
+    from the affine coefficients alone, placed from the FOOTPRINT HULL:
+    the window origin aligns down from (footprint min - 1) instead of
+    centering on the brick-center projection, so coverage needs only
+    extent + stride + bilinear reach instead of extent + 2x(quantization
+    + reach) — this is what lets the half-tile x window fit real
+    footprints (auto_window_cols). Matches tsdf_pallas.win_offsets_pallas's
+    quantization (y origins ``yalign``-aligned, x an overlapping block
+    index of width ``wx`` at stride ``xstride``). ``yalign=16`` for
+    layouts whose padded image height the y clamp must use."""
     wp = max(-(-w // xstride) * xstride, wx)
     nxb = (wp - wx) // xstride + 1
     # the f32 layout (yalign=8) is unpadded -> clamp against the true
-    # height; the pairs layout pads H up to the alignment multiple
+    # height; the padded layouts pad H up to the alignment multiple
     hp = h if yalign == 8 else -(-h // yalign) * yalign
-    u0 = tables.coeffs[..., 0, 0]    # [K, NB]
-    v0 = tables.coeffs[..., 1, 0]
-    x_mid = jnp.clip(u0 * w - 0.5, 0.0, w - 1.0)
-    y_mid = jnp.clip(v0 * h - 0.5, 0.0, h - 1.0)
+    # slice to the coeffs' basis size (tests pin the placement contract
+    # with constant-only tables)
+    sb = jnp.asarray(_hull_basis()[: tables.coeffs.shape[-1]])  # [NB_, S]
+    pts = jnp.einsum("knca,as->kncs", tables.coeffs[..., :2, :], sb)
+    u_min = jnp.min(pts[..., 0, :], axis=-1) * w - 0.5   # px
+    v_min = jnp.min(pts[..., 1, :], axis=-1) * h - 0.5
     xb = jnp.clip(
-        (jnp.floor(x_mid).astype(jnp.int32) - wx // 2 + xstride // 2) // xstride,
-        0, nxb - 1,
+        (jnp.floor(u_min).astype(jnp.int32) - 1) // xstride, 0, nxb - 1
     )
     # the upper clamp must itself be aligned (h - wy need not be a
     # multiple of yalign, e.g. 212 - 48): the kernels encode y as its
     # tile index, so an unaligned clamp would silently floor
     y8 = jnp.clip(
-        (jnp.floor(y_mid).astype(jnp.int32) - wy // 2) & ~(yalign - 1),
+        ((jnp.floor(v_min).astype(jnp.int32) - 1) // yalign) * yalign,
         0, (hp - wy) & ~(yalign - 1),
     )
     return jnp.stack([y8, xb], axis=-1)
+
+
+def _footprint_extents(tables: AffineTables, chan: int,
+                       scale: int) -> np.ndarray:
+    """Per valid (sensor, brick) footprint extent in px along ``chan``
+    (0 = u, 1 = v), from the 27-point quadratic hull (_hull_basis)."""
+    sb = _hull_basis()
+    c = np.asarray(tables.coeffs[..., chan, :])  # [K, NB, NBASIS]
+    u0 = np.asarray(tables.coeffs[..., 0, 0])
+    pts = c @ sb                                 # [K, NB, S] normalized
+    ext = (pts.max(-1) - pts.min(-1)) * scale    # px
+    return ext[u0 >= 0.0]
 
 
 def auto_window_rows(tables: AffineTables, h: int,
@@ -292,44 +320,26 @@ def auto_window_rows(tables: AffineTables, h: int,
     The sampling matmuls' MAC count scales linearly with the window height,
     and the height needed scales with the projected brick footprint — half
     per doubling of volume resolution (a brick is 16 voxels regardless).
-    The footprint's true v extent per (sensor, brick) is sampled by
-    evaluating the quadratic warp at the brick's corners/face-centers/
-    center (15 points; the quadratic bulge beyond the hull is bounded by
-    the fit residual, well under a pixel). wy covers the ``quantile`` of
-    VALID bricks plus the placement slack (up to 7 rows of 8-alignment +
-    bilinear reach), aligned up to 8 rows and clamped to
+    The footprint's v extent per (sensor, brick) comes from the 27-point
+    quadratic hull (the bulge beyond it is bounded by the fit residual,
+    well under a pixel). With hull-based placement (win_offsets_affine
+    aligns the origin down from footprint-min - 1), a window of size
+    extent + align + bilinear reach = extent + 10 always covers; wy takes
+    the ``quantile`` of VALID bricks, aligned up to 8 rows and clamped to
     [wy_min, wy_max] — at 256^3 with Kinect sensors this reproduces the
-    historical fixed 48; at 512^3 it yields 32 (1/3 fewer MACs and window
-    bytes).
+    historical fixed 48; at 512^3 it yields 32-40.
 
     ``clip_frac`` is the fraction of valid (sensor, brick) pairs whose
     extent exceeds the chosen window: those bricks sample edge-clamped
     rows exactly as oversized footprints always have under the fixed
     window (close-to-sensor bricks; extents up to ~400 px exist in any
     frustum). Callers log it; it is occupancy-independent."""
-    import numpy as np
-
-    half = (BRICK - 1) / 2.0
-    pts = [(0.0, 0.0, 0.0)]
-    for s in (-half, half):
-        pts += [(s, 0.0, 0.0), (0.0, s, 0.0), (0.0, 0.0, s)]
-        for t in (-half, half):
-            pts += [(s, t, 0.0), (s, 0.0, t), (0.0, s, t)]
-    P = np.array(pts, np.float32).T              # [3, S] (lz, ly, lx)
-    lz, ly, lx = P[0], P[1], P[2]
-    sb = np.stack([np.ones_like(lz), lz, ly, lx, lz * lz, ly * ly, lx * lx,
-                   lz * ly, lz * lx, ly * lx])   # [NBASIS, S]
-    cv = np.asarray(tables.coeffs[..., 1, :])    # [K, NB, NBASIS] (v chan)
-    u0 = np.asarray(tables.coeffs[..., 0, 0])
-    v_pts = cv @ sb                              # [K, NB, S] normalized v
-    ext = (v_pts.max(-1) - v_pts.min(-1)) * h    # px
-    valid = u0 >= 0.0
-    ev = ext[valid]
+    ev = _footprint_extents(tables, 1, h)
     if ev.size == 0:
         return wy_max, 0.0
-    need = float(np.percentile(ev, quantile)) + 9.0   # align + bilinear
+    need = float(np.percentile(ev, quantile)) + 10.0  # align + reach
     wy = int(min(max(-(-int(np.ceil(need)) // 8) * 8, wy_min), wy_max))
-    clip_frac = float((ev > wy - 9.0).mean())
+    clip_frac = float((ev > wy - 10.0).mean())
     return wy, clip_frac
 
 
@@ -339,44 +349,26 @@ def auto_window_cols(tables: AffineTables, w: int,
     (wx, xstride, clip_frac).
 
     Unlike the y window (pure DMA bytes), the x window sets the sampling
-    matmuls' OUTPUT rows (2*wx lanes per channel pair) and the x-stage
-    array heights — the kernel's two dominant compute terms scale
-    linearly with it (docs/PERF.md round-4 bisect). The paired-channel
-    lane tile is either a full 128 lanes (wx=64, xstride=16 — the
-    historical layout) or a half tile (wx=32), taken when the
-    ``quantile`` u extent of valid bricks + placement slack fits 32 px.
-    The half tile comes in two strides: 8 (same total packed-x-block
-    bytes: 2x blocks x half lanes) and, when only the stride-8 origin
-    quantization slack (7 px) is what overflows, 4 (2x the packed
-    blocks — a once-per-frame relayout — for 4 px tighter placement;
-    this is what unlocks 32 px at 512^3, where the bench rig's p99
-    extent is ~24 px).
+    matmuls' OUTPUT rows and the x-stage array heights — the kernel's two
+    dominant compute terms scale linearly with it (docs/PERF.md round-4
+    bisect). The choice is the historical full lane tile (wx=64,
+    xstride=16, channel-paired) or the half tile (wx=32, channel-QUADDED
+    — expand_xblocks_quads), taken when the ``quantile`` u extent of
+    valid bricks fits under hull-based placement: extent + xstride +
+    bilinear reach (2) <= 32. The half tile comes in two strides: 8 (same
+    total packed-x-block bytes: 2x blocks x half channels per plane) and,
+    when only the stride-8 placement slack overflows, 4 (2x the packed
+    blocks — a once-per-frame relayout — for 4 px tighter placement at
+    high volume resolutions, where footprints halve per res doubling).
 
     ``clip_frac`` as in auto_window_rows: oversized footprints edge-clamp,
     the fixed window's pre-existing behaviour."""
-    import numpy as np
-
-    half = (BRICK - 1) / 2.0
-    pts = [(0.0, 0.0, 0.0)]
-    for s in (-half, half):
-        pts += [(s, 0.0, 0.0), (0.0, s, 0.0), (0.0, 0.0, s)]
-        for t in (-half, half):
-            pts += [(s, t, 0.0), (s, 0.0, t), (0.0, s, t)]
-    P = np.array(pts, np.float32).T
-    lz, ly, lx = P[0], P[1], P[2]
-    sb = np.stack([np.ones_like(lz), lz, ly, lx, lz * lz, ly * ly, lx * lx,
-                   lz * ly, lz * lx, ly * lx])
-    cu = np.asarray(tables.coeffs[..., 0, :])    # [K, NB, NBASIS] (u chan)
-    u0 = cu[..., 0]
-    u_pts = cu @ sb                              # [K, NB, S] normalized u
-    ext = (u_pts.max(-1) - u_pts.min(-1)) * w    # px
-    ev = ext[u0 >= 0.0]
+    ev = _footprint_extents(tables, 0, w)
     if ev.size == 0:
         return 64, 16, 0.0
-    # slack: (xstride - 1) origin quantization + 2 bilinear reach
     p = float(np.percentile(ev, quantile))
-    if p + 7.0 + 2.0 <= 32.0:
-        return 32, 8, float((ev > 32 - 9.0).mean())
-    if p + 3.0 + 2.0 <= 32.0:
-        return 32, 4, float((ev > 32 - 5.0).mean())
-    return 64, 16, float((ev > 64 - 17.0).mean())
+    if p + 8.0 + 2.0 <= 32.0:
+        return 32, 8, float((ev > 32 - 10.0).mean())
+    if p + 4.0 + 2.0 <= 32.0:
+        return 32, 4, float((ev > 32 - 6.0).mean())
+    return 64, 16, float((ev > 64 - 18.0).mean())

@@ -53,7 +53,8 @@ from .tsdf import TsdfConfig
 from .tsdf_fast import BRICK, occupied_list, pack_frames
 from .tsdf_affine import AffineTables, NBASIS, _brick_basis, win_offsets_affine
 from .tsdf_pallas import (
-    B3, WY, WX2, XSTRIDE2, expand_xblocks_pairs, pack_pairs,
+    B3, WY, WX2, XSTRIDE2, expand_xblocks_pairs, expand_xblocks_quads,
+    pack_pairs,
 )
 from .tsdf_persist import (
     NB_PAD, fold_window_coords, fuse_chunk, fuse_chunk_v2, fuse_chunk_v3,
@@ -71,14 +72,14 @@ def _kernel(
     cmat_ref,     # HBM f32[MB, NB_PAD, 128] per-slot warp coeffs
     basis_ref,    # VMEM f32[NB_PAD, B3]
     corner_ref,   # VMEM f32[K, 8]
-    packed_ref,   # HBM bf16[K, NXB2, 4, Hp, 128] paired x-blocks
+    packed_ref,   # HBM bf16[K, NXB, 4|2, Hp, 128] paired|quadded x-blocks
     in_v_ref,     # HBM f32[Vz, Vy, NXG, 128]  pre-cleared, aliased
     in_c_ref,     # HBM bf16[4, Vz, Vy, NXG, 128]
     # outputs (the aliased dense buffers)
     dst_v_ref,
     dst_c_ref,
     # scratch
-    wnd_ref,      # VMEM bf16[2, G, K, 4, WY, 128] (paired channels)
+    wnd_ref,      # VMEM bf16[2, G, K, 4|2, WY, 128] (paired|quadded chans)
     cmbuf_ref,    # VMEM f32[2, G, NB_PAD, 128]
     rowv_ref,     # VMEM f32[2, 16, 16, 128]   row accumulation (double buf)
     rowc_ref,     # VMEM bf16[2, 4, 16, 16, 128]
@@ -87,7 +88,7 @@ def _kernel(
     row_sems,     # DMA (2, 2)
     *, num_k: int, h: int, w: int, limit: float, nby: int, nxg: int,
     variant: str = "v3", group: int = 2, strip: str = "", wy: int = WY,
-    wx: int = WX2, xstride: int = XSTRIDE2,
+    wx: int = WX2, xstride: int = XSTRIDE2, quad: bool = False,
 ):
     """The brick loop runs GROUPED: ``group`` bricks per fori_loop
     iteration (unrolled members), because the floor is per-ITERATION
@@ -264,7 +265,7 @@ def _kernel(
                         pc_all, lambda k, _i=i: wnd_ref[slot, _i, k], po_b,
                         corner_ref, num_k=num_k, h=h, w=w, limit=limit,
                         strip=strip if strip.startswith("x") else "", wy=wy,
-                        wx=wx, xstride=xstride,
+                        wx=wx, xstride=xstride, quad=quad,
                     )
                 else:
                     fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2}[variant]
@@ -367,14 +368,19 @@ def integrate_dense_pallas(
     assert wy % 8 == 0 and (variant == "v3" or wy == WY), (wy, variant)
     assert wx in (32, 64) and xstride in (4, 8, 16), (wx, xstride)
     assert variant == "v3" or (wx == WX2 and xstride == XSTRIDE2), variant
+    # the half-tile x window ships in the channel-QUADDED layout (4 x 32-px
+    # channels per 128-lane plane) — the only form whose window DMA slices
+    # are full lane tiles and therefore chip-legal
+    quad = wx == 32
     nbz, nby, nbx = vz // BRICK, vy // BRICK, vx // BRICK
     nxg = nbx // XROW
     nb = nbz * nby * nbx
     assert affine.coeffs.shape[1] == nb, (affine.coeffs.shape, cfg.res)
     packed = pack_frames(frames)                 # [K, H, W, 6]
     num_k, h, w, _ = packed.shape
-    packed_xb = expand_xblocks_pairs(pack_pairs(packed), dtype=jnp.bfloat16,
-                                     wx=wx, xstride=xstride)
+    expand = expand_xblocks_quads if quad else expand_xblocks_pairs
+    packed_xb = expand(pack_pairs(packed), dtype=jnp.bfloat16,
+                       wx=wx, xstride=xstride)
     corner = jnp.pad(packed[:, 0, 0, :], ((0, 0), (0, 2)))  # [K, 8]
 
     idx_list, valid_list = occupied_list(mask16, max_bricks)
@@ -419,7 +425,8 @@ def integrate_dense_pallas(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, group, num_k, 4, wy, 2 * wx), jnp.bfloat16),
+            pltpu.VMEM((2, group, num_k, 2 if quad else 4, wy, 128),
+                       jnp.bfloat16),
             pltpu.VMEM((2, group, NB_PAD, 128), jnp.float32),
             pltpu.VMEM((2, BRICK, BRICK, 128), jnp.float32),
             pltpu.VMEM((2, 4, BRICK, BRICK, 128), jnp.bfloat16),
@@ -432,7 +439,7 @@ def integrate_dense_pallas(
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
         nby=nby, nxg=nxg, variant=variant, group=group, strip=strip, wy=wy,
-        wx=wx, xstride=xstride,
+        wx=wx, xstride=xstride, quad=quad,
     )
 
     vol, cvol = pl.pallas_call(

@@ -98,10 +98,9 @@ def expand_xblocks_pairs(ch8: jnp.ndarray, dtype=None,
     f32[K, NXB2, 4, Hp, 2*wx] (stride ``xstride``): block j, group g holds
     channels (2g, 2g+1) in lane halves [x | wx + x], x = j*xstride ..
     j*xstride + wx - 1. Defaults reproduce the historical 64-px/stride-16
-    layout; (wx=32, xstride=8 or 4) are the half-tile layouts
-    auto_window_cols picks at high volume resolutions (stride 8 keeps
-    the total bytes of the stride-16 layout; stride 4 doubles them for
-    tighter window placement).
+    layout. wx=32 pairs exist for interpret-mode A/Bs only — on chip the
+    half-tile x window ships channel-QUADDED (expand_xblocks_quads),
+    whose DMA slices span full 128-lane tiles.
 
     H pads up to a multiple of 8 (edge mode ≙ GL CLAMP_TO_EDGE) so window
     DMAs near the bottom edge stay in-bounds; W pads to the stride so
@@ -126,6 +125,42 @@ def expand_xblocks_pairs(ch8: jnp.ndarray, dtype=None,
             sl.reshape(k, 4, 2, hp, wx)
             .transpose(0, 1, 3, 2, 4)
             .reshape(k, 4, hp, 2 * wx)
+        )
+    return jnp.stack(blocks, axis=1)
+
+
+def expand_xblocks_quads(ch8: jnp.ndarray, dtype=None,
+                         wx: int = 32, xstride: int = 8) -> jnp.ndarray:
+    """[K, 8, H, W] channel planes -> overlapping channel-QUADDED x-blocks
+    [K, NXB, 2, Hp, 4*wx]: block j, plane p holds channels 4p .. 4p+3 in
+    lane QUARTERS [x | wx + x | 2*wx + x | 3*wx + x], x = j*xstride ..
+    j*xstride + wx - 1.
+
+    This is what makes the half-tile x window (wx=32) chip-legal: window
+    DMA slices must span full 128-lane tiles, and 4 x 32-px quarters fill
+    one. Plane 0 = (d_hi | d_lo | 1-sil | qual), plane 1 = (r | g | b | 0)
+    (pack_pairs channel order). The kernel runs ONE nearest-weight matmul
+    on plane 0 (depth quarters; the sil/qual quarters of that product are
+    unused) and ONE linear-weight matmul on both planes concatenated —
+    384 output lanes per sensor instead of the pairs layout's 512 — and
+    the window DMA bytes and x-stage heights halve.
+
+    Padding and dtype semantics as expand_xblocks_pairs."""
+    k, c8, h, w = ch8.shape
+    if dtype is not None:
+        ch8 = ch8.astype(dtype)
+    hp = -(-h // 8) * 8
+    wp = max(-(-w // xstride) * xstride, wx)
+    ch8 = jnp.pad(ch8, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)),
+                  mode="edge")
+    nxb = (wp - wx) // xstride + 1
+    blocks = []
+    for j in range(nxb):
+        sl = ch8[..., j * xstride : j * xstride + wx]      # [K, 8, Hp, wx]
+        blocks.append(
+            sl.reshape(k, 2, 4, hp, wx)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(k, 2, hp, 4 * wx)
         )
     return jnp.stack(blocks, axis=1)
 

@@ -364,7 +364,7 @@ def fuse_chunk_v2(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
 
 def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
                   strip: str = "", wy: int = WY, wx: int = WX2,
-                  xstride: int = XSTRIDE2):
+                  xstride: int = XSTRIDE2, quad: bool = False):
     """``fuse_chunk_v2`` with the sampling stage TRANSPOSED: voxels live in
     LANES end-to-end.
 
@@ -389,6 +389,15 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
 
     Same math as v2 (folded window-relative coords, flipped silhouette,
     bf16 linear channels, f32 nearest-depth path).
+
+    ``quad``: windows use the channel-QUADDED layout (expand_xblocks_quads,
+    4 x wx-px channels per 128-lane plane — the chip-legal form of the
+    half-tile x window): wnd_k(k) is [2, wy, 4*wx], and the y-stage runs
+    one nearest matmul on plane 0 (depth quarters 0/1; the sil/qual
+    quarters of that product are discarded) + one linear matmul on both
+    planes concatenated (8*wx output lanes vs the pairs layout's 6*wx + a
+    full depth tile — 384 vs 512 at wx=32 vs 64 — with half the window
+    bytes and x-stage heights).
 
     ``strip`` (BENCHMARK-ONLY, wrong results): 'xnomm' replaces the
     sampling matmuls with slices of the weight planes; 'xnoxs' skips the
@@ -462,38 +471,42 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
         ct_n = one_t(pcn[4 * k:4 * k + 1], iota_x, f32)          # [WX2, HB]
         ct_l = hat_t(pcl[4 * k:4 * k + 1], iota_x).astype(bf16)
 
-        wnd = wnd_k(k)                            # f32 [4, WY, 128]
+        wnd = wnd_k(k)        # bf16 [4, wy, 2*wx] pairs | [2, wy, 4*wx] quad
+        nq = 4 if quad else 2         # channels per 128-lane window plane
+        # linear channels start after the depth quarters in the quad
+        # product (its plane 0 carries d_hi/d_lo ahead of 1-sil/qual)
+        lo = 2 * wx if quad else 0
         if strip == "xnomm":  # bisect: sampling matmuls off (weights live)
-            zx = jnp.concatenate([iota_x, iota_x], axis=0) * 0.0  # [128, HB]
+            zx = jnp.concatenate([iota_x] * nq, axis=0) * 0.0
             nt = rt_n[0:1].astype(f32) + zx
-            lin = (rt_l[0:1] + jnp.concatenate([zx, zx, zx], axis=0
-                                               ).astype(bf16))
+            lin = (rt_l[0:1] + jnp.concatenate(
+                [zx] * (2 if quad else 3), axis=0).astype(bf16))
         else:
             # y-stage, transposed output: [x_window, HB]
             nt = jax.lax.dot_general(
                 wnd[0].astype(bf16), rt_n, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
-            )                                     # [128, HB] f32
+            )                                     # [nq*wx, HB] f32
             lin = jax.lax.dot_general(
                 jnp.concatenate(
-                    [wnd[1], wnd[2], wnd[3]], axis=1).astype(bf16),
+                    [wnd[0], wnd[1]] if quad else [wnd[1], wnd[2], wnd[3]],
+                    axis=1).astype(bf16),
                 rt_l, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32,   # Mosaic: acc must be 32-bit
-            ).astype(bf16)                        # [384, HB] bf16
+            ).astype(bf16)                        # [(8|6)*wx, HB] bf16
 
         if strip == "xnoxs":  # bisect: x-stage mul+subsum off
             depth = nt[0] * ct_n[0]
-            sil = lin[0].astype(f32) * ct_l[0].astype(f32)
-            qual, r_, g_, b_ = lin[1].astype(f32), lin[2].astype(f32), \
-                lin[3].astype(f32), lin[4].astype(f32)
+            sil = lin[lo].astype(f32) * ct_l[0].astype(f32)
+            qual, r_, g_, b_ = (lin[lo + i].astype(f32) for i in range(1, 5))
         else:
             # x-stage: sublane slices (free) + fold-tree sublane sums
-            depth = subsum((nt[:wx] + nt[wx:]) * ct_n)           # [HB] f32
-            sil = subsum(lin[0 * wx:1 * wx] * ct_l).astype(f32)
-            qual = subsum(lin[1 * wx:2 * wx] * ct_l).astype(f32)
-            r_ = subsum(lin[2 * wx:3 * wx] * ct_l).astype(f32)
-            g_ = subsum(lin[3 * wx:4 * wx] * ct_l).astype(f32)
-            b_ = subsum(lin[4 * wx:5 * wx] * ct_l).astype(f32)
+            depth = subsum((nt[:wx] + nt[wx:2 * wx]) * ct_n)     # [HB] f32
+            sil = subsum(lin[lo + 0 * wx:lo + 1 * wx] * ct_l).astype(f32)
+            qual = subsum(lin[lo + 1 * wx:lo + 2 * wx] * ct_l).astype(f32)
+            r_ = subsum(lin[lo + 2 * wx:lo + 3 * wx] * ct_l).astype(f32)
+            g_ = subsum(lin[lo + 3 * wx:lo + 4 * wx] * ct_l).astype(f32)
+            b_ = subsum(lin[lo + 4 * wx:lo + 5 * wx] * ct_l).astype(f32)
 
         cv = corner_ref[k]
         depth = jnp.where(invalid, cv[0], depth)

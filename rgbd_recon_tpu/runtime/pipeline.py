@@ -472,21 +472,12 @@ class FramePipeline:
         """Auto-sized integration x window (ops/tsdf_affine
         .auto_window_cols): (wx, xstride) = (64, 16) — the historical
         paired-channel full lane tile — or the half tile (32, stride 8 or
-        4) when the p99 u footprint fits, e.g. 512^3 where footprints
-        halve. Unlike wy
-        (DMA bytes only), wx sets the sampling matmuls' output rows and
-        the x-stage array heights — the kernel's two dominant compute
-        terms. Dense-emit path only (the block-major fallback keeps the
-        fixed layout)."""
-        # GATED to the full tile until the quad-packed window layout
-        # lands: Mosaic requires window DMA slices lane-aligned to 128,
-        # so the half tile's [wy, 64] copies are chip-illegal (verified
-        # on-device; interpret mode accepts them, which is what the
-        # parity tests exercise). auto_window_cols + the parameterized
-        # kernel are the groundwork; flipping this on needs
-        # expand_xblocks packing FOUR 32-px channels per 128-lane plane.
-        if True:
-            return 64, 16
+        4, channel-QUADDED so the window DMA slices stay full 128-lane
+        tiles) when the p99 u footprint fits, e.g. 512^3 where footprints
+        halve. Unlike wy (DMA bytes only), wx sets the sampling matmuls'
+        output rows and the x-stage array heights — the kernel's two
+        dominant compute terms. Dense-emit path only (the block-major
+        fallback keeps the fixed layout)."""
         if not (self._use_affine and self.use_fast and self._dense_emit):
             return 64, 16
         if getattr(self, "_wx_sensor_w", None) is None:

@@ -78,11 +78,22 @@ def main():
     strips = os.environ.get(
         "BI_STRIPS", "v1,v2,nofuse,noxred,nomm,noweights,dmaonly,dense"
     ).split(",")
+    # window overrides for the dense strips (defaults = the pipeline's
+    # auto policy at this config)
+    pipe._wy_sensor_h, pipe._wx_sensor_w = 424, 512
+    wy = int(os.environ.get("BI_WY", pipe._window_rows()))
+    wxa, xsa = pipe._window_cols()
+    wx = int(os.environ.get("BI_WX", wxa))
+    xs = int(os.environ.get("BI_XS", xsa))
+    print(f"# dense windows: wy={wy} wx={wx}/{xs}", flush=True)
+
     for s in strips:
-        if s == "dense":
-            jf = jax.jit(lambda f_, m_: integrate_dense_pallas(
-                f_, pipe.affine, pipe.tsdf_cfg, m_, max_bricks=max_bricks))
-            timeit("dense:v3", jf, pre_outs, iters)
+        if s == "dense" or s.startswith("dense-"):
+            _st = s[6:] if s.startswith("dense-") else ""
+            jf = jax.jit(lambda f_, m_, _s=_st: integrate_dense_pallas(
+                f_, pipe.affine, pipe.tsdf_cfg, m_, max_bricks=max_bricks,
+                wy=wy, wx=wx, xstride=xs, strip=_s))
+            timeit(f"dense:v3:{_st or 'full'}", jf, pre_outs, iters)
         elif s in ("v1", "v2", "v3"):
             jf = jax.jit(lambda f_, m_, _v=s: integrate_affine_pallas(
                 f_, pipe.affine, pipe.tsdf_cfg, m_, max_bricks=max_bricks,

@@ -153,6 +153,20 @@ def main():
                 f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks))
             intout = timeit("integrate(dense-emit)", jdense,
                             [(frames, mask16, pipe.affine)], iters)
+            # the windows the pipeline actually runs (auto-sized from the
+            # bake: wy via auto_window_rows, (wx, xstride) quad layout via
+            # auto_window_cols) — differs from the fixed default above at
+            # high volume res, where footprints shrink
+            pipe._wy_sensor_h, pipe._wx_sensor_w = frames.depth.shape[1:3]
+            wy = pipe._window_rows()
+            wxa, xsa = pipe._window_cols()
+            if (wy, wxa, xsa) != (48, 64, 16):
+                jauto = jax.jit(lambda f_, m_, a_: integrate_dense_pallas(
+                    f_, a_, pipe.tsdf_cfg, m_, max_bricks=max_bricks,
+                    wy=wy, wx=wxa, xstride=xsa))
+                intout = timeit(
+                    f"integrate(auto wy={wy} wx={wxa}/{xsa})", jauto,
+                    [(frames, mask16, pipe.affine)], iters)
     else:
         jint = jax.jit(lambda f_, m_, t_: tsdf_fast.integrate_sparse(
             f_, t_, pipe.tsdf_cfg, m_, max_bricks=max_bricks,

@@ -12,7 +12,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from rgbd_recon_tpu.ops.tsdf_pallas import (
-    WX2, XSTRIDE2, expand_xblocks_pairs, pack_pairs,
+    WX2, XSTRIDE2, expand_xblocks_pairs, expand_xblocks_quads, pack_pairs,
 )
 from rgbd_recon_tpu.ops.tsdf_affine import win_offsets_affine
 
@@ -59,6 +59,28 @@ def test_expand_xblocks_pairs_mapping():
                 )
 
 
+def test_expand_xblocks_quads_mapping():
+    """Channel-QUADDED layout (the chip-legal half-tile x window): block j,
+    plane p holds channel 4p + l // wx at pixel x = j*xstride + l % wx."""
+    rng = np.random.default_rng(3)
+    k, h, w, wx, xs = 2, 23, 130, 32, 8
+    ch8 = rng.uniform(0.0, 1.0, (k, 8, h, w)).astype(np.float32)
+    xb = np.asarray(expand_xblocks_quads(jnp.asarray(ch8), wx=wx, xstride=xs))
+    hp = -(-h // 8) * 8
+    wp = -(-w // xs) * xs
+    nxb = (wp - wx) // xs + 1
+    assert xb.shape == (k, nxb, 2, hp, 4 * wx)
+    padded = np.pad(ch8, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)),
+                    mode="edge")
+    for j in (0, nxb // 2, nxb - 1):
+        for p in range(2):
+            for q in range(4):
+                np.testing.assert_array_equal(
+                    xb[:, j, p, :, q * wx:(q + 1) * wx],
+                    padded[:, 4 * p + q, :, j * xs:j * xs + wx],
+                )
+
+
 def test_win_offsets_pairs_contract():
     """Origins must keep the window inside the padded image and be
     8-aligned in y (the kernels DMA at (po >> 16) * 8)."""
@@ -81,7 +103,14 @@ def test_win_offsets_pairs_contract():
         assert 0 <= y8 <= hp - wy
         assert y8 % 8 == 0
         assert 0 <= xb < nxb
-    # centered footprint gets a roughly centered window
+    # hull placement: the window COVERS the footprint's bilinear stencil
+    # ([min - 1, max + 1]; a point footprint here) with the origin aligned
+    # down from (min - 1)
     y_c, xb_c = off[0, 1]
-    assert abs((xb_c * XSTRIDE2 + WX2 // 2) - (0.5 * w)) <= XSTRIDE2
-    assert abs((y_c + wy // 2) - 0.5 * h) <= 12
+    x_px = 0.5 * w - 0.5
+    y_px = 0.5 * h - 0.5
+    x0 = xb_c * XSTRIDE2
+    assert x0 <= x_px - 1 and x0 + WX2 - 1 >= x_px + 1
+    assert x0 > x_px - 1 - XSTRIDE2   # aligned DOWN, not merely below
+    assert y_c <= y_px - 1 and y_c + wy - 1 >= y_px + 1
+    assert y_c > y_px - 1 - 8

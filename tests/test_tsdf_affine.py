@@ -278,9 +278,10 @@ def test_auto_window_cols_policy():
 
 
 def test_auto_window_cols_parity():
-    """Half-tile x windows (wx=32, xstride=8) integrate identically to the
-    fixed (64, 16) layout when footprints fit — a narrow 128x104 sensor
-    keeps the p99 u extent under 23 px at this brick scale (96x80 sensor)."""
+    """Half-tile x windows (wx=32, channel-QUADDED layout) integrate
+    identically to the fixed (64, 16) pairs layout when footprints fit —
+    the narrow 96x80 sensor keeps the p99 u extent under the hull-placed
+    stride-8 budget (22 px) at this brick scale."""
     from rgbd_recon_tpu.ops.tsdf_affine import auto_window_cols
     from rgbd_recon_tpu.ops.tsdf_dense import integrate_dense_pallas
 
