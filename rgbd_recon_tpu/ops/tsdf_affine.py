@@ -312,6 +312,128 @@ def _footprint_extents(tables: AffineTables, chan: int,
     return ext[u0 >= 0.0]
 
 
+def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
+                     depth_n: jnp.ndarray, quality: jnp.ndarray,
+                     limit: float, cell: int = 8, shifts: int = 5,
+                     margin: float = 1.25) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth-band cull of occupied 16^3 blocks — the reference's brick
+    depth peel (recon_integration.cpp:408-428) applied to INTEGRATION.
+
+    The brick-grid marking (0.1 m cells, inc_bricks.glsl:40-58) is much
+    coarser than the truncation band: at 512^3 only ~55% of marked blocks
+    contain in-band voxels, yet per-block VPU cost dominates the integrate
+    kernel there (docs/PERF.md). A block can only hold in-band voxels for
+    a sensor if its baked depth range (27-point quadratic hull +- limit)
+    intersects the sensor's depth range over its footprint; blocks failing
+    that for EVERY sensor integrate to constants (-limit in front / carve
+    — both equal the clear value — or +limit behind) and are dropped.
+
+    Per (sensor, block), using only the affine bake + two tiny depth mips:
+      * the EXACT cell range of the footprint ([min-1, max+1] px over
+        ``cell``-square min/max depth mips of qual > 0 pixels; <=
+        ``shifts`` cells per axis for footprints <= shifts*cell - 2 px,
+        sampled as shifted one-hot matmuls + min/max — a fixed pooled
+        window measured far too conservative: 48x48 px windows near
+        silhouette edges span the whole depth range and kept ~97% of
+        blocks; 16-px exact ranges kept ~89%; 8-px cells track the depth
+        gradient near the limb); wider footprints are conservatively
+        kept;
+      * blocks whose footprint leaves the image fold in the CORNER pixel's
+        depth (the kernel's GL-border-clamp substitute for out-of-bounds
+        voxels), and (sensor, brick) pairs invalid in the bake count as
+        live only if the corner depth itself is in band of d_vox = 0
+        (their zeroed coefficients) — reproducing the kernel's invalid
+        path exactly, conservatively.
+
+    DOCUMENTED DEVIATION: dropped all-behind blocks hold the clear value
+    (-limit) instead of +limit. Rays from the front hit the real surface
+    first either way; the false back-face shell that brick-sparse TSDF
+    always has (the reference included) moves from the brick-grid boundary
+    to the band-block boundary — strictly closer to the surface. Measured
+    image impact at the bench scene: see docs/PERF.md round-4 cull pass.
+
+    ``margin`` inflates the band by 25% to absorb the affine-fit residual
+    (~5e-4 vs limit 0.01 at 512^3) and hull underestimate.
+
+    Returns (mask16 & keep, keep)."""
+    nbz, nby, nbx = mask16.shape
+    k, nb = tables.coeffs.shape[:2]
+    assert nb == nbz * nby * nbx, (tables.coeffs.shape, mask16.shape)
+    h, w = depth_n.shape[1:]
+    lim = limit * margin
+    big = jnp.float32(1e9)
+
+    sb = jnp.asarray(_hull_basis())
+    pts = jnp.einsum("knca,as->kncs", tables.coeffs[..., :3, :], sb)
+    u_lo = jnp.min(pts[:, :, 0], -1) * w - 0.5     # px
+    u_hi = jnp.max(pts[:, :, 0], -1) * w - 0.5
+    v_lo = jnp.min(pts[:, :, 1], -1) * h - 0.5
+    v_hi = jnp.max(pts[:, :, 1], -1) * h - 0.5
+    d_lo = jnp.min(pts[:, :, 2], -1) - lim
+    d_hi = jnp.max(pts[:, :, 2], -1) + lim
+
+    # 16x16 depth min/max mips over accumulation-capable (qual > 0) pixels
+    ch, cw = -(-h // cell), -(-w // cell)
+    live = quality > 0.0
+    dp = jnp.pad(jnp.where(live, depth_n, big),
+                 ((0, 0), (0, ch * cell - h), (0, cw * cell - w)),
+                 constant_values=big)
+    dmin = dp.reshape(k, ch, cell, cw, cell).min((2, 4))
+    dn = jnp.pad(jnp.where(live, depth_n, -big),
+                 ((0, 0), (0, ch * cell - h), (0, cw * cell - w)),
+                 constant_values=-big)
+    dmax = dn.reshape(k, ch, cell, cw, cell).max((2, 4))
+
+    # exact covered cell range per block: [floor((min-1)/cell) ..
+    # floor((max+1)/cell)], <= ``shifts`` cells for in-budget extents —
+    # reduced with shifted one-hot row matmuls + elementwise min (gathers
+    # serialize on TPU; out-of-range shifts substitute the identity)
+    cya = jnp.clip(jnp.floor((v_lo - 1.0) / cell).astype(jnp.int32), 0, ch - 1)
+    cyb = jnp.clip(jnp.floor((v_hi + 1.0) / cell).astype(jnp.int32), 0, ch - 1)
+    cxa = jnp.clip(jnp.floor((u_lo - 1.0) / cell).astype(jnp.int32), 0, cw - 1)
+    cxb = jnp.clip(jnp.floor((u_hi + 1.0) / cell).astype(jnp.int32), 0, cw - 1)
+
+    def range_reduce(mip, op, fill):
+        """min/max of mip[k, cy, cx] over the block's covered cell
+        rectangle (clamped to shifts^2 cells; wider handled by ``wide``)."""
+        iy = jnp.arange(ch)
+        rows = None
+        for i in range(shifts):
+            oy = ((cya + i)[..., None] == iy).astype(jnp.float32)
+            s = jnp.einsum("knh,khw->knw", oy, mip)          # [K, NB, cw]
+            s = jnp.where((cya + i <= cyb)[..., None], s, fill)
+            rows = s if rows is None else op(rows, s)
+        out = None
+        ix = jnp.arange(cw)
+        for i in range(shifts):
+            ox = ((cxa + i)[..., None] == ix).astype(jnp.float32)
+            s = jnp.sum(rows * ox, axis=-1)                  # [K, NB]
+            s = jnp.where(cxa + i <= cxb, s, fill)
+            out = s if out is None else op(out, s)
+        return out
+
+    wmin = range_reduce(dmin, jnp.minimum, big)
+    wmax = range_reduce(dmax, jnp.maximum, -big)
+
+    # the cell range covers footprints up to shifts*cell - 2 px; wider keeps
+    wide = ((u_hi - u_lo) > shifts * cell - 2) | (
+        (v_hi - v_lo) > shifts * cell - 2)
+    edge = (u_lo < 0.0) | (u_hi > w - 1.0) | (v_lo < 0.0) | (v_hi > h - 1.0)
+    cd = depth_n[:, 0, 0]
+    c_live = quality[:, 0, 0] > 0.0
+    wmin = jnp.where(edge, jnp.minimum(wmin, jnp.where(c_live, cd, big)[:, None]),
+                     wmin)
+    wmax = jnp.where(edge, jnp.maximum(wmax, jnp.where(c_live, cd, -big)[:, None]),
+                     wmax)
+
+    band = (d_hi >= wmin) & (d_lo <= wmax)
+    valid_brick = tables.coeffs[..., 0, 0] >= 0.0
+    inv_live = c_live & (jnp.abs(cd) < lim)        # corner in band of d=0
+    touch = jnp.where(valid_brick, band | wide, inv_live[:, None])
+    keep = jnp.any(touch, axis=0).reshape(nbz, nby, nbx)
+    return mask16 & keep, keep
+
+
 def auto_window_rows(tables: AffineTables, h: int,
                      wy_max: int = 48, wy_min: int = 16,
                      quantile: float = 99.0) -> tuple[int, float]:

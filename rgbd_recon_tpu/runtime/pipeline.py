@@ -94,6 +94,13 @@ class PipelineConfig(NamedTuple):
     # on AND the bake residual stays under affine_tol
     use_affine: bool | None = None
     affine_tol: float = 0.02   # max |fit - table| (normalized sensor units)
+    # depth-band block cull (ops/tsdf_affine.block_depth_cull): drop
+    # occupied blocks whose baked depth range cannot intersect any sensor's
+    # truncation band — the reference's brick depth peel
+    # (recon_integration.cpp:408-428) applied to integration. Per-block
+    # VPU cost dominates the integrate kernel at high volume res
+    # (docs/PERF.md); affine path only
+    brick_cull: bool = True
     # one dispatch per frame instead of four (all stages in a single jit);
     # staged mode compiles much faster and recompiles only the renderer on
     # camera-axis changes
@@ -361,6 +368,13 @@ class FramePipeline:
                 mask16 = brick_ops.block_occupancy(
                     mask, self.brick_grid, self.tsdf_cfg.res, tsdf_fast.BRICK
                 )
+                if cfg.brick_cull and self._use_affine:
+                    from ..ops.tsdf_affine import block_depth_cull
+
+                    mask16, _ = block_depth_cull(
+                        mask16, self.affine, frames.depth[..., 0],
+                        frames.quality, float(self.tsdf_cfg.limit),
+                    )
             else:
                 vox_mask = brick_ops.voxel_occupancy(
                     mask, self.brick_grid, self.tsdf_cfg.res
