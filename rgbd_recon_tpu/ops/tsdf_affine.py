@@ -314,8 +314,9 @@ def _footprint_extents(tables: AffineTables, chan: int,
 
 def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
                      depth_n: jnp.ndarray, quality: jnp.ndarray,
-                     limit: float, cell: int = 8, shifts: int = 5,
-                     margin: float = 1.25) -> tuple[jnp.ndarray, jnp.ndarray]:
+                     silhouette: jnp.ndarray | None = None,
+                     limit: float = 0.01, cell: int = 8, shifts: int = 5,
+                     margin: float = 1.25):
     """Depth-band cull of occupied 16^3 blocks — the reference's brick
     depth peel (recon_integration.cpp:408-428) applied to INTEGRATION.
 
@@ -355,7 +356,19 @@ def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
     ``margin`` inflates the band by 25% to absorb the affine-fit residual
     (~5e-4 vs limit 0.01 at 512^3) and hull underestimate.
 
-    Returns (mask16 & keep, keep)."""
+    Also returns per-(sensor, block) integration CLASSES for the kernel's
+    per-sensor skip (fuse_chunk_v3 ``cls``): 0 FULL (default), and for
+    in-budget, in-image footprints over fully-live (qual > 0 everywhere)
+    pixels — where no carve/corner path can fire — 1 NONE (strictly
+    behind: provably no state change) or 2 FRONT (strictly in front:
+    wt = -limit unconditionally); 3 INVALID for bake-invalid bricks,
+    whose whole contribution folds to per-sensor corner constants.
+    NONE/FRONT/INVALID still skip the inverse-distance fallback-color
+    accumulation (tc2) — out-of-band voxels in kept blocks lose non-band
+    sensors' fallback colors, the same approximation family as the
+    cull's dropped-block colors.
+
+    Returns (mask16 & keep, keep, cls[K, NB] i32)."""
     nbz, nby, nbx = mask16.shape
     k, nb = tables.coeffs.shape[:2]
     assert nb == nbz * nby * nbx, (tables.coeffs.shape, mask16.shape)
@@ -414,6 +427,17 @@ def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
 
     wmin = range_reduce(dmin, jnp.minimum, big)
     wmax = range_reduce(dmax, jnp.maximum, -big)
+    # class safety needs STRICT liveness: qual > 0 AND silhouette == 1
+    # (boundary-kept pixels have qual > 0 with sil = 0 and would carve).
+    # Without the silhouette no window is provably carve-free: no classes.
+    if silhouette is not None:
+        strict = live & (silhouette >= 1.0)
+        lm = jnp.pad(strict.astype(jnp.float32),
+                     ((0, 0), (0, ch * cell - h), (0, cw * cell - w)))
+        lmin = lm.reshape(k, ch, cell, cw, cell).min((2, 4))
+        full_live = range_reduce(lmin, jnp.minimum, big) > 0.5
+    else:
+        full_live = jnp.zeros((k, nb), bool)
 
     # the cell range covers footprints up to shifts*cell - 2 px; wider keeps
     wide = ((u_hi - u_lo) > shifts * cell - 2) | (
@@ -431,7 +455,16 @@ def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
     inv_live = c_live & (jnp.abs(cd) < lim)        # corner in band of d=0
     touch = jnp.where(valid_brick, band | wide, inv_live[:, None])
     keep = jnp.any(touch, axis=0).reshape(nbz, nby, nbx)
-    return mask16 & keep, keep
+
+    # per-(sensor, block) kernel class: NONE/FRONT only when provably
+    # constant (fully-live in-image in-budget window — no carve, no
+    # corner substitution); bake-invalid bricks fold to corner constants
+    safe = ~wide & ~edge & full_live
+    cls = jnp.zeros((k, nb), jnp.int32)
+    cls = jnp.where(safe & (wmax < d_lo), 1, cls)          # NONE (behind)
+    cls = jnp.where(safe & (wmin > d_hi), 2, cls)          # FRONT
+    cls = jnp.where(~valid_brick, 3, cls)                  # INVALID
+    return mask16 & keep, keep, cls
 
 
 def auto_window_rows(tables: AffineTables, h: int,

@@ -89,6 +89,7 @@ def _kernel(
     *, num_k: int, h: int, w: int, limit: float, nby: int, nxg: int,
     variant: str = "v3", group: int = 2, strip: str = "", wy: int = WY,
     wx: int = WX2, xstride: int = XSTRIDE2, quad: bool = False,
+    use_cls: bool = False,
 ):
     """The brick loop runs GROUPED: ``group`` bricks per fori_loop
     iteration (unrolled members), because the floor is per-ITERATION
@@ -110,7 +111,8 @@ def _kernel(
     def win_dma(b, slot, i, k):
         po = offs_ref[clamp(b) * num_k + k]
         return pltpu.make_async_copy(
-            packed_ref.at[k, po & 0xFFFF, :, pl.ds((po >> 16) * 8, wy), :],
+            packed_ref.at[k, po & 0xFFFF, :,
+                          pl.ds(((po >> 16) & 0xFF) * 8, wy), :],
             wnd_ref.at[slot, i, k],
             win_sems.at[slot],
         )
@@ -265,7 +267,7 @@ def _kernel(
                         pc_all, lambda k, _i=i: wnd_ref[slot, _i, k], po_b,
                         corner_ref, num_k=num_k, h=h, w=w, limit=limit,
                         strip=strip if strip.startswith("x") else "", wy=wy,
-                        wx=wx, xstride=xstride, quad=quad,
+                        wx=wx, xstride=xstride, quad=quad, cls=use_cls,
                     )
                 else:
                     fuse = {"v1": fuse_chunk, "v2": fuse_chunk_v2}[variant]
@@ -350,6 +352,7 @@ def integrate_dense_pallas(
     wy: int | None = None,
     wx: int | None = None,
     xstride: int | None = None,
+    cls: jnp.ndarray | None = None,
 ):
     """Brick-sparse fused TSDF + color, dense outputs straight from the
     kernel: (tsdf f32[Vz, Vy, Vx], color bf16[4, Vz, Vy, Vx] CHANNEL-MAJOR).
@@ -390,8 +393,15 @@ def integrate_dense_pallas(
     offs3 = jnp.transpose(win_off[:, idx_list], (1, 0, 2))  # [MB, K, 2]
     # y packs as its 8-row tile index (origin / 8): the kernel multiplies
     # back by 8, which is how Mosaic proves the tile divisibility of the
-    # dynamic window DMA offset
+    # dynamic window DMA offset. Per-(brick, sensor) integration classes
+    # (block_depth_cull: NONE/FRONT/INVALID sensor skips, variant v3 only)
+    # ride in bits 24-25.
     offs = ((offs3[..., 0] >> 3) << 16 | offs3[..., 1]).reshape(-1)
+    use_cls = cls is not None and variant == "v3" and not strip
+    if use_cls:
+        assert cls.shape == (num_k, nb), (cls.shape, nb)
+        offs = offs | (jnp.transpose(cls[:, idx_list], (1, 0))
+                       .astype(jnp.int32) << 24).reshape(-1)
 
     cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
     cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
@@ -439,7 +449,7 @@ def integrate_dense_pallas(
     kernel = functools.partial(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
         nby=nby, nxg=nxg, variant=variant, group=group, strip=strip, wy=wy,
-        wx=wx, xstride=xstride, quad=quad,
+        wx=wx, xstride=xstride, quad=quad, use_cls=use_cls,
     )
 
     vol, cvol = pl.pallas_call(

@@ -362,9 +362,42 @@ def fuse_chunk_v2(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
     return wt, rgb_out, flag
 
 
+def _fuse_update(carry, d_vox, depth, qual, sflip, rgb, limit):
+    """One sensor's TSDF + color-blend update (tsdf_integration.vs:33-54,
+    tsdf_raymarch.fs:295-320) on lane-major rows. ``depth``/``qual``/
+    ``sflip`` may be broadcast scalars (the invalid-brick corner fold —
+    identical arithmetic, so the fold is bit-exact vs the full body)."""
+    wt, tw, tc, tcw, tc2, tcw2 = carry
+    sdist = d_vox - depth
+    skip = (sflip > 1.0 - SIL_PL) & (wt >= limit)
+    in_front = sdist <= -limit
+    in_band = (sdist > -limit) & (sdist < limit)
+    new_tw = tw + qual
+    accum = jnp.where(
+        new_tw > 0.0,
+        (wt * tw + qual * sdist) / jnp.where(new_tw > 0.0, new_tw, 1.0),
+        wt,
+    )
+    wt_next = jnp.where(in_front, -limit, jnp.where(in_band, accum, wt))
+    tw_next = jnp.where(in_band & (new_tw > 0.0), new_tw, tw)
+    wt = jnp.where(skip, -limit, wt_next)
+    tw = jnp.where(skip, tw, tw_next)
+
+    dist = jnp.abs(depth - d_vox)
+    q_c = jnp.where(dist < limit, qual, 0.0)
+    w_c = q_c / (dist + 0.01)
+    tc = tc + rgb * w_c[None, :]
+    tcw = tcw + w_c
+    w2 = 1.0 / jnp.maximum(dist, 1e-9)
+    tc2 = tc2 + rgb * w2[None, :]
+    tcw2 = tcw2 + w2
+    return (wt, tw, tc, tcw, tc2, tcw2)
+
+
 def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
                   strip: str = "", wy: int = WY, wx: int = WX2,
-                  xstride: int = XSTRIDE2, quad: bool = False):
+                  xstride: int = XSTRIDE2, quad: bool = False,
+                  cls: bool = False):
     """``fuse_chunk_v2`` with the sampling stage TRANSPOSED: voxels live in
     LANES end-to-end.
 
@@ -399,10 +432,23 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
     full depth tile — 384 vs 512 at wx=32 vs 64 — with half the window
     bytes and x-stage heights).
 
+    ``cls``: per-(brick, sensor) integration classes ride in bits 24-25 of
+    ``po_b`` (ops/tsdf_affine.block_depth_cull): 0 FULL runs the body; 1
+    NONE (strictly behind a fully-live window — provably stateless) is
+    skipped; 2 FRONT (strictly in front, fully live) folds to an
+    unconditional wt = -limit; 3 INVALID (bake-invalid brick: every voxel
+    takes the corner-pixel constants with d_vox = 0) runs the identical
+    update chain on broadcast scalars — exact, no weights/matmuls. The
+    branch is a per-sensor ``lax.switch`` on a scalar, so NONE/FRONT/
+    INVALID sensors skip the weight construction, both sampling matmuls
+    and the x-stage entirely. NONE/FRONT skip the inverse-distance
+    fallback-color accumulation too (documented in block_depth_cull).
+
     ``strip`` (BENCHMARK-ONLY, wrong results): 'xnomm' replaces the
     sampling matmuls with slices of the weight planes; 'xnoxs' skips the
     x-stage subsums; 'xnowt' skips the transposed weight construction;
     'xnofu' skips the fusion/blend chain (accumulate raw samples)."""
+    assert not (cls and strip), "strip bisects run classless"
     hb = pc_all.shape[1]
     nr = 4 * num_k
     rid = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0)
@@ -411,7 +457,9 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
     ivlo = zc
     ivhi = zc
     for k in range(num_k):
-        y_lo = ((po_b[k] >> 16) * 8).astype(jnp.float32)
+        # po_b packs cls<<24 | y_tile<<16 | xblock (y tile fits 8 bits:
+        # images up to 2040 rows)
+        y_lo = (((po_b[k] >> 16) & 0xFF) * 8).astype(jnp.float32)
         x_lo = ((po_b[k] & 0xFFFF) * xstride).astype(jnp.float32)
         ubx = jnp.minimum(jnp.float32(w - 1) - x_lo, wx - 1.0)
         uby = jnp.minimum(jnp.float32(h - 1) - y_lo, wy - 1.0)
@@ -456,14 +504,8 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
             n = half
         return x[0]
 
-    wt = jnp.full((hb,), limit, f32)
-    tw = jnp.zeros((hb,), f32)
-    tc = jnp.zeros((3, hb), f32)
-    tcw = jnp.zeros((hb,), f32)
-    tc2 = jnp.zeros((3, hb), f32)
-    tcw2 = jnp.zeros((hb,), f32)
-
-    for k in range(num_k):
+    def full_body(k, carry):
+        wt, tw, tc, tcw, tc2, tcw2 = carry
         invalid = inv3[4 * k] | inv3[4 * k + 1] | inv3[4 * k + 2]
         d_vox = pc_all[4 * k + 2]
         rt_n = one_t(pcn[4 * k + 1:4 * k + 2], iota_y, bf16)     # [wy, HB]
@@ -517,39 +559,55 @@ def fuse_chunk_v3(pc_all, wnd_k, po_b, corner_ref, *, num_k, h, w, limit,
         b_ = jnp.where(invalid, cv[5], b_)
 
         if strip == "xnofu":  # bisect: fusion/blend chain off (accumulate)
-            wt = wt + depth
-            tw = tw + qual
-            tc = tc + jnp.stack([r_, g_, b_])
-            tcw = tcw + sflip
+            return (wt + depth, tw + qual, tc + jnp.stack([r_, g_, b_]),
+                    tcw + sflip, tc2, tcw2)
+
+        return _fuse_update(carry, d_vox, depth, qual, sflip,
+                            jnp.stack([r_, g_, b_]), limit)
+
+    def inv_body(k, carry):
+        """Bake-invalid brick (class 3): every voxel is out of bounds, so
+        the full body substitutes the corner constants everywhere and
+        d_vox = 0 (zeroed coefficients) — the identical update chain on
+        broadcast scalars, no weights, matmuls or x-stage. Bit-exact."""
+        cv = corner_ref[k]
+        zero = jnp.zeros_like(carry[0])
+        return _fuse_update(carry, zero, cv[0], cv[1], 1.0 - cv[2],
+                            jnp.stack([cv[3], cv[4], cv[5]])[:, None] + zero,
+                            limit)
+
+    carry = (jnp.full((hb,), limit, f32), jnp.zeros((hb,), f32),
+             jnp.zeros((3, hb), f32), jnp.zeros((hb,), f32),
+             jnp.zeros((3, hb), f32), jnp.zeros((hb,), f32))
+
+    # switch-branch results must be >= 2-D (Mosaic assigns layouts to
+    # scf.if results; rank-1 [HB] vectors crash its layout pass), so the
+    # carry crosses branches in the native (HB/128, 128) shape — free
+    # relayout both ways
+    def to2(c):
+        return tuple(x.reshape(x.shape[:-1] + (hb // 128, 128)) for x in c)
+
+    def to1(c):
+        return tuple(x.reshape(x.shape[:-2] + (hb,)) for x in c)
+
+    for k in range(num_k):
+        if not cls:
+            carry = full_body(k, carry)
             continue
 
-        # TSDF update (tsdf_integration.vs:33-54)
-        sdist = d_vox - depth
-        skip = (sflip > 1.0 - SIL_PL) & (wt >= limit)
-        in_front = sdist <= -limit
-        in_band = (sdist > -limit) & (sdist < limit)
-        new_tw = tw + qual
-        accum = jnp.where(
-            new_tw > 0.0,
-            (wt * tw + qual * sdist) / jnp.where(new_tw > 0.0, new_tw, 1.0),
-            wt,
-        )
-        wt_next = jnp.where(in_front, -limit, jnp.where(in_band, accum, wt))
-        tw_next = jnp.where(in_band & (new_tw > 0.0), new_tw, tw)
-        wt = jnp.where(skip, -limit, wt_next)
-        tw = jnp.where(skip, tw, tw_next)
+        def front_fn(c, _k=k):
+            return (jnp.full_like(c[0], -limit),) + c[1:]
 
-        # color blend terms (tsdf_raymarch.fs:295-320)
-        dist = jnp.abs(depth - d_vox)
-        q_c = jnp.where(dist < limit, qual, 0.0)
-        w_c = q_c / (dist + 0.01)
-        rgb = jnp.stack([r_, g_, b_])
-        tc = tc + rgb * w_c[None, :]
-        tcw = tcw + w_c
-        w2 = 1.0 / jnp.maximum(dist, 1e-9)
-        tc2 = tc2 + rgb * w2[None, :]
-        tcw2 = tcw2 + w2
+        carry = to1(jax.lax.switch(
+            jnp.clip(po_b[k] >> 24, 0, 3),
+            [lambda c, _k=k: to2(full_body(_k, to1(c))),
+             lambda c: c,                               # NONE
+             front_fn,                                  # FRONT
+             lambda c, _k=k: to2(inv_body(_k, to1(c)))],  # INVALID
+            to2(carry),
+        ))
 
+    wt, tw, tc, tcw, tc2, tcw2 = carry
     hasq = tcw > 0.0
     rgb_out = jnp.where(
         hasq[None, :],

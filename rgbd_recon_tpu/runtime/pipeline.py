@@ -348,6 +348,7 @@ class FramePipeline:
         mask = None
         vox_mask = None
         mask16 = None
+        cls = None
         occupied = jnp.float32(1.0)
         if cfg.use_bricks:
             if self._use_pallas():
@@ -371,9 +372,10 @@ class FramePipeline:
                 if cfg.brick_cull and self._use_affine:
                     from ..ops.tsdf_affine import block_depth_cull
 
-                    mask16, _ = block_depth_cull(
+                    mask16, _, cls = block_depth_cull(
                         mask16, self.affine, frames.depth[..., 0],
-                        frames.quality, float(self.tsdf_cfg.limit),
+                        frames.quality, frames.silhouette,
+                        float(self.tsdf_cfg.limit),
                     )
             else:
                 vox_mask = brick_ops.voxel_occupancy(
@@ -384,7 +386,7 @@ class FramePipeline:
         # reference's per-frame count readback (recon_integration.cpp:430-445)
         n_occ = (jnp.sum(mask16.astype(jnp.int32)) if mask16 is not None
                  else jnp.int32(0))
-        return frames, mask, vox_mask, mask16, occupied, n_occ
+        return frames, mask, vox_mask, mask16, occupied, n_occ, cls
 
     def _use_pallas(self) -> bool:
         if self.cfg.use_pallas is not None:
@@ -394,10 +396,11 @@ class FramePipeline:
         return fine_enough and jax.default_backend() == "tpu"
 
     def _integrate_impl(self, frames, mask16, tables, win_off=None,
-                        tables_kernel=None):
+                        tables_kernel=None, cls=None):
         """2integrate (fast path): brick-sparse fused TSDF + color volumes.
         ``tables`` is AffineTables (persistent kernel), or IntegrationTables
-        (grid kernel / XLA path)."""
+        (grid kernel / XLA path). ``cls``: per-(sensor, block) integration
+        classes from block_depth_cull (dense-emit kernel sensor skips)."""
         vx, vy, vz = self.tsdf_cfg.res
         total_bricks = (vx // tsdf_fast.BRICK) * (vy // tsdf_fast.BRICK) * (
             vz // tsdf_fast.BRICK
@@ -415,7 +418,7 @@ class FramePipeline:
                     frames, tables, self.tsdf_cfg, mask16,
                     max_bricks=min(self.max_bricks, total_bricks),
                     win_off=win_off, wy=self._window_rows(),
-                    wx=wx, xstride=xstride,
+                    wx=wx, xstride=xstride, cls=cls,
                 )
             from ..ops.tsdf_persist import integrate_affine_pallas
 
@@ -574,12 +577,12 @@ class FramePipeline:
             rig = self.rig
         if tables is None:
             tables = self._warp_data()
-        frames, mask, vox_mask, mask16, occupied, n_occ = self._pre_impl(
+        frames, mask, vox_mask, mask16, occupied, n_occ, cls = self._pre_impl(
             depth_m, color, rig, warp
         )
         if self.use_fast:
             vol, cvol = self._integrate_impl(
-                frames, mask16, tables, win_off, tables_kernel
+                frames, mask16, tables, win_off, tables_kernel, cls
             )
             out = self._render_impl(vol, cvol, mask16, (modelview, proj), axis, flip)
         else:
@@ -656,11 +659,12 @@ class FramePipeline:
                 axis, flip, win_off, self._kernel_tables(),
             )
 
-        frames, mask, vox_mask, mask16, occupied, n_occ = self._pre(
+        frames, mask, vox_mask, mask16, occupied, n_occ, cls = self._pre(
             depth_m, color, self._rig_for_step(warp), warp
         )
         vol, cvol = self._integrate(
-            frames, mask16, self._warp_data(), win_off, self._kernel_tables()
+            frames, mask16, self._warp_data(), win_off, self._kernel_tables(),
+            cls,
         )
         out = self._render(vol, cvol, mask16, (modelview, proj), axis, flip)
         color_out = self._fill(out.color, out.depth) if self.cfg.fill_holes else out.color
@@ -699,13 +703,14 @@ class FramePipeline:
 
         with db.scope("1preprocess"):
             (frames, mask, vox_mask, mask16, occupied,
-             n_occ) = jax.block_until_ready(
+             n_occ, cls) = jax.block_until_ready(
                 self._pre(depth_m, color, self._rig_for_step(warp), warp)
             )
         with db.scope("2integrate"):
             vol, cvol = jax.block_until_ready(
                 self._integrate(
-                    frames, mask16, self._warp_data(), win_off, self._kernel_tables()
+                    frames, mask16, self._warp_data(), win_off,
+                    self._kernel_tables(), cls,
                 )
             )
         with db.scope("3recon"):
@@ -755,12 +760,13 @@ class FramePipeline:
             self._pre(depth_m, color, self._rig_for_step(warp), warp)
         )
         self._log(f"  1preprocess: {time.time()-t0:.1f}s")
-        frames, mask, vox_mask, mask16, occupied, n_occ = pre
+        frames, mask, vox_mask, mask16, occupied, n_occ, cls = pre
         t0 = time.time()
         self._log("compiling 2integrate ...")
         vol, cvol = jax.block_until_ready(
             self._integrate(
-                frames, mask16, self._warp_data(), win_off, self._kernel_tables()
+                frames, mask16, self._warp_data(), win_off,
+                self._kernel_tables(), cls,
             )
         )
         self._log(f"  2integrate: {time.time()-t0:.1f}s")

@@ -67,7 +67,7 @@ def main():
     for _ in range(nbuf):
         d = jnp.asarray(depth + rng.uniform(0, 2e-3, depth.shape).astype(np.float32))
         c = jnp.asarray(np.clip(color + rng.uniform(0, 1e-2, color.shape), 0, 1).astype(np.float32))
-        frames, _, _, mask16, _, n_occ = pre(d, c, pipe._rig_for_step(warp), warp)
+        frames, _, _, mask16, _, n_occ, cls = pre(d, c, pipe._rig_for_step(warp), warp)
         pre_outs.append((frames, mask16))
     print(f"# occupied bricks: {int(np.asarray(n_occ))}", flush=True)
 

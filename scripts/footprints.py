@@ -38,7 +38,7 @@ def main():
     )
     warp = pipe._get_warp(424, 512)
     pre = jax.jit(pipe._pre_impl)
-    frames, _, _, mask16, _, n_occ = pre(
+    frames, _, _, mask16, _, n_occ, _cls = pre(
         jnp.asarray(depth), jnp.asarray(color), pipe._rig_for_step(warp), warp)
     mask16 = np.asarray(mask16)
     print(f"occupied bricks: {int(np.asarray(n_occ))}")

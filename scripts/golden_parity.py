@@ -79,7 +79,7 @@ def main() -> None:
     # integrate ONCE through the production path; render the same volume
     # through both renderers
     warp = pipe._get_warp(depth.shape[1], depth.shape[2])
-    frames, _, _, mask16, _, _ = pipe._pre(
+    frames, _, _, mask16, _, _, _cls = pipe._pre(
         jnp.asarray(depth), jnp.asarray(color), pipe._rig_for_step(warp), warp
     )
     vol2, cvol = pipe._integrate(

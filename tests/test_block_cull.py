@@ -38,8 +38,9 @@ def test_block_cull_safety():
     mask16 = brick_ops.block_occupancy(
         brick_ops.occupancy_mask(counts, 10), grid, cfg.res
     )
-    m2, keep = block_depth_cull(
-        mask16, aff, frames.depth[..., 0], frames.quality, float(cfg.limit)
+    m2, keep, _ = block_depth_cull(
+        mask16, aff, frames.depth[..., 0], frames.quality,
+        frames.silhouette, float(cfg.limit)
     )
     m0, m2 = np.asarray(mask16), np.asarray(m2)
     assert (m2 <= m0).all()                      # cull only ever drops
@@ -70,6 +71,90 @@ def test_block_cull_safety():
         np.testing.assert_allclose(new, -lim, rtol=0, atol=1e-6)
 
 
+def test_class_skip_parity():
+    """Per-(sensor, block) kernel classes (fuse_chunk_v3 ``cls``): NONE /
+    FRONT / INVALID sensor skips must be BIT-exact on the TSDF, the
+    has-quality flag, and the blended color wherever the flag is set (the
+    documented deviation is confined to fallback colors of flag<0 voxels).
+    Natural scenes rarely yield fully-live footprints at test scale (the
+    sphere covers ~10% of the sensor), so the FRAMES are doctored to a
+    wall at constant depth 0.5 with qual = sil = 1 everywhere — every
+    in-image footprint is then provably live — and the bake's d
+    coefficients per block force each class by construction. Both paths
+    consume the same doctored frames, so the parity contract is exact."""
+    bbox = Bbox.default()
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=2, bbox=bbox, fwd_res=(32, 48, 32), inv_res=(48, 48, 48),
+        width=96, height=80,
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    aff = tsdf_affine.bake_affine(rig, cfg)
+    warp = bake_pixel_warp(rig, 80, 96)
+    frames = pp.preprocess(jnp.asarray(depth), jnp.asarray(color), rig,
+                           warp=warp)
+    ones = jnp.ones_like(frames.quality)
+    frames = frames._replace(
+        depth=jnp.stack([ones * 0.5, frames.depth[..., 1]], axis=-1),
+        quality=ones, silhouette=ones,
+    )
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    )
+    occ = np.flatnonzero(np.asarray(mask16).ravel())
+    assert occ.size >= 3
+
+    # pick doctored blocks whose sensor-0 footprints are fully in-image
+    # (edge footprints conservatively demote to FULL)
+    from rgbd_recon_tpu.ops.tsdf_affine import _hull_basis
+
+    sbb = _hull_basis()
+    C0 = np.asarray(aff.coeffs)[0]
+    inside = []
+    for b in occ:
+        p = C0[b, :2, :] @ sbb
+        if (p[0].min() * 96 - 0.5 > 6 and p[0].max() * 96 - 0.5 < 89
+                and p[1].min() * 80 - 0.5 > 6 and p[1].max() * 80 - 0.5 < 73):
+            inside.append(int(b))
+    assert len(inside) >= 3, inside
+    ba, bb, bc = inside[0], inside[1], inside[2]
+
+    c = np.asarray(aff.coeffs).copy()
+    c[0, ba] = 0.0
+    c[0, ba, 0, 0] = -1.0            # bake-invalid for sensor 0
+    c[0, bb, 2, :] = 0.0
+    c[0, bb, 2, 0] = 0.2             # strictly in FRONT of the 0.5 wall
+    c[0, bc, 2, :] = 0.0
+    c[0, bc, 2, 0] = 0.8             # strictly BEHIND the 0.5 wall
+    aff = aff._replace(coeffs=jnp.asarray(c))
+
+    m2, keep, cls = block_depth_cull(
+        mask16, aff, frames.depth[..., 0], frames.quality,
+        frames.silhouette, float(cfg.limit)
+    )
+    cls_np = np.asarray(cls)
+    assert cls_np[0, ba] == 3, cls_np[0, ba]       # INVALID
+    assert cls_np[0, bb] == 2, cls_np[0, bb]       # FRONT
+    assert cls_np[0, bc] == 1, cls_np[0, bc]       # NONE
+    assert (cls_np >= 0).all() and (cls_np <= 3).all()
+
+    # integrate the FULL occupied mask (not the culled one) so the
+    # doctored FRONT/NONE blocks are guaranteed to execute their branches
+    v0, c0 = integrate_dense_pallas(frames, aff, cfg, mask16, max_bricks=128,
+                                    interpret=True)
+    v1, c1 = integrate_dense_pallas(frames, aff, cfg, mask16, max_bricks=128,
+                                    interpret=True, cls=cls)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    c0 = np.asarray(c0, np.float32)
+    c1 = np.asarray(c1, np.float32)
+    np.testing.assert_array_equal(c0[3], c1[3])    # has-quality flag
+    sel = c0[3] > 0
+    np.testing.assert_array_equal(c0[:3][:, sel], c1[:3][:, sel])
+
+
 def test_block_cull_wide_and_invalid_kept():
     """Footprints wider than the pooled mip window and bricks invalid in
     the bake with a live corner are kept conservatively."""
@@ -97,8 +182,8 @@ def test_block_cull_wide_and_invalid_kept():
     qual = np.ones((1, h, w), np.float32)
     depth[0, 0, 0] = 0.004          # corner within limit of d_vox = 0
     mask16 = jnp.ones((2, 2, 2), bool)
-    m2, keep = block_depth_cull(
-        mask16, tables, jnp.asarray(depth), jnp.asarray(qual), 0.01
+    m2, keep, _ = block_depth_cull(
+        mask16, tables, jnp.asarray(depth), jnp.asarray(qual), None, 0.01
     )
     keep = np.asarray(keep).ravel()
     assert keep[0], "wide footprint must be kept"
