@@ -117,6 +117,14 @@ def _kernel(
             win_sems.at[slot],
         )
 
+    def win_needed(b, k):
+        """Only FULL-class sensors read their window (NONE/FRONT skip the
+        sensor, INVALID reads the corner constants) — the per-brick DMA
+        issue overhead is the kernel's sequencing floor (docs/PERF.md), so
+        skipped sensors skip the copy too. Starts and waits share this
+        predicate, keeping the shared semaphore balanced."""
+        return (offs_ref[clamp(b) * num_k + k] >> 24) == 0
+
     def cm_dma(g, slot):
         return pltpu.make_async_copy(
             cmat_ref.at[pl.ds(g * group, group)],
@@ -170,7 +178,9 @@ def _kernel(
         cm_dma(0, 0).start()
         for i in range(group):
             for k in range(num_k):
-                win_dma(i, 0, i, k).start()
+                @pl.when(win_needed(i, k))
+                def _start(i=i, k=k):
+                    win_dma(i, 0, i, k).start()
 
     # loop-invariant relayout constants (hoisted by the compiler)
     VROWS = B3 // 128           # 32: rows of the value's native layout
@@ -195,12 +205,16 @@ def _kernel(
             cm_dma(g + 1, nslot).start()
             for i in range(group):
                 for k in range(num_k):
-                    win_dma((g + 1) * group + i, nslot, i, k).start()
+                    @pl.when(win_needed((g + 1) * group + i, k))
+                    def _start(i=i, k=k, nslot=nslot):
+                        win_dma((g + 1) * group + i, nslot, i, k).start()
 
         cm_dma(g, slot).wait()
         for i in range(group):
             for k in range(num_k):
-                win_dma(g * group + i, slot, i, k).wait()
+                @pl.when(win_needed(g * group + i, k))
+                def _wait(i=i, k=k, slot=slot):
+                    win_dma(g * group + i, slot, i, k).wait()
 
         for i in range(group):
             b = g * group + i
