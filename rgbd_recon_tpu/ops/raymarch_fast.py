@@ -53,6 +53,9 @@ def pick_axis(modelview: np.ndarray, vol_to_world: np.ndarray) -> tuple[int, boo
     eye = inv[:3, 3]
     fwd = -inv[:3, 2]  # camera looks down -z in eye space
     axis = int(np.argmax(np.abs(fwd)))
+    # eye is in NORMALIZED volume coords (vol_to_world maps [0,1]^3 -> world
+    # bbox by construction, utils/math.vol_to_world_matrix), so 0.5 is the
+    # volume center regardless of the world-space bbox.
     flip = bool(eye[axis] > 0.5)
     return axis, flip
 
