@@ -143,12 +143,17 @@ def sweep(
     slab_occupied: jnp.ndarray | None = None,
     channel_major: bool = False,
     window: SweepWindow | None = None,
+    zmajor: bool = False,
 ) -> SweepResult:
     """Front-to-back sweep along ``axis``; returns per-intermediate-ray hits.
 
-    ``cvol``: [Vz, Vy, Vx, 4], or CHANNEL-MAJOR [4, Vz, Vy, Vx] with
-    ``channel_major=True`` (the dense-emit integration kernel's native
-    layout, ops/tsdf_dense.py). Internals are channel-leading either way.
+    ``cvol``: [Vz, Vy, Vx, 4]; CHANNEL-MAJOR [4, Vz, Vy, Vx] with
+    ``channel_major=True``; or Z-MAJOR [Vz, 4, Vy, Vx] with ``zmajor=True``
+    (the dense-emit kernel's zmajor layout, ops/tsdf_dense.py). Internals
+    normalize to [sweep, 4, row, col] — for axis 2 the z-major form IS that
+    layout, so the color volume enters the scan with no relayout at all
+    (the other forms cost XLA a full-volume copy into this memory order:
+    3.3 ms at 512³, docs/PERF.md).
 
     ``window``: run only a logical k-window over a LOCAL volume slab (the
     multi-chip decomposition, see SweepWindow); ``tsdf``/``cvol`` then hold
@@ -168,10 +173,19 @@ def sweep(
         (recon_integration.cpp:408-428).
     """
     coord_perm, array_perm = _permutation(axis)
-    if not channel_major:
-        cvol = jnp.moveaxis(cvol, -1, 0)
+    assert not (channel_major and zmajor)
     vol = jnp.transpose(tsdf, array_perm)          # [S, R, C] (id for axis 2)
-    col = jnp.transpose(cvol, (0,) + tuple(a + 1 for a in array_perm))
+    if zmajor:       # [Vz, 4, Vy, Vx]: vol array dim a lives at zc dim m[a]
+        m = {0: 0, 1: 2, 2: 3}
+        perm4 = (m[array_perm[0]], 1, m[array_perm[1]], m[array_perm[2]])
+        col = cvol if perm4 == (0, 1, 2, 3) else jnp.transpose(cvol, perm4)
+    else:
+        if not channel_major:
+            cvol = jnp.moveaxis(cvol, -1, 0)
+        col = jnp.transpose(
+            cvol,
+            (array_perm[0] + 1, 0, array_perm[1] + 1, array_perm[2] + 1),
+        )                                          # [S, 4, R, C]
     ns_local, nr, nc = vol.shape
     ns = window.ns_total if window is not None else ns_local
     k0 = window.k0 if window is not None else 0
@@ -227,7 +241,7 @@ def sweep(
 
     def resample(k_phys_local, sigma):
         sl_d = jax.lax.dynamic_index_in_dim(vol, k_phys_local, 0, keepdims=False)
-        sl_c = jax.lax.dynamic_index_in_dim(col, k_phys_local, 1, keepdims=False)
+        sl_c = jax.lax.dynamic_index_in_dim(col, k_phys_local, 0, keepdims=False)
         return resample_slices(sl_d, sl_c, sigma)
 
     def sigma_of(k):
@@ -377,12 +391,13 @@ def render_fast(
     cfg: SweepConfig = SweepConfig(),
     slab_occupied: jnp.ndarray | None = None,
     channel_major: bool = False,
+    zmajor: bool = False,
 ) -> RenderOutput:
     """Sweep + screen warp + shading. Drop-in fast replacement for
-    ops.raymarch.render (shade modes 0/1/2). ``channel_major``: cvol is
-    [4, Vz, Vy, Vx] (the dense-emit kernel's native layout)."""
+    ops.raymarch.render (shade modes 0/1/2). ``channel_major``/``zmajor``:
+    cvol layout (see sweep)."""
     res = sweep(tsdf, cvol, cam, bbox, limit, axis, flip, cfg, slab_occupied,
-                channel_major=channel_major)
+                channel_major=channel_major, zmajor=zmajor)
     return shade_sweep(
         res, cam, bbox, axis, flip, tsdf.shape[2 - axis], params, cfg
     )

@@ -89,7 +89,7 @@ def _kernel(
     *, num_k: int, h: int, w: int, limit: float, nby: int, nxg: int,
     variant: str = "v3", group: int = 2, strip: str = "", wy: int = WY,
     wx: int = WX2, xstride: int = XSTRIDE2, quad: bool = False,
-    use_cls: bool = False,
+    use_cls: bool = False, zmajor: bool = False, vol_dtype=jnp.float32,
 ):
     """The brick loop runs GROUPED: ``group`` bricks per fori_loop
     iteration (unrolled members), because the floor is per-ITERATION
@@ -156,22 +156,43 @@ def _kernel(
                     ],
                     row_sems.at[rslot, 0],
                 ).start()
-                pltpu.make_async_copy(
-                    rowc_ref.at[rslot],
-                    dst_c_ref.at[
-                        :, pl.ds(z0, BRICK), pl.ds(y0, BRICK),
-                        pl.ds(g * 128, 128),
-                    ],
-                    row_sems.at[rslot, 1],
-                ).start()
+                if zmajor:
+                    # z-major color ([Vz, 4, Vy, Vx] — the layout the sweep
+                    # slices per z with NO relayout): one DMA per channel,
+                    # all sharing the row semaphore
+                    for c in range(4):
+                        pltpu.make_async_copy(
+                            rowc_ref.at[rslot, c],
+                            dst_c_ref.at[
+                                pl.ds(z0, BRICK), c, pl.ds(y0, BRICK),
+                                pl.ds(g * 128, 128),
+                            ],
+                            row_sems.at[rslot, 1],
+                        ).start()
+                else:
+                    pltpu.make_async_copy(
+                        rowc_ref.at[rslot],
+                        dst_c_ref.at[
+                            :, pl.ds(z0, BRICK), pl.ds(y0, BRICK),
+                            pl.ds(g * 128, 128),
+                        ],
+                        row_sems.at[rslot, 1],
+                    ).start()
 
     def wait_row(rslot):
         pltpu.make_async_copy(
             rowv_ref.at[rslot], rowv_ref.at[rslot], row_sems.at[rslot, 0]
         ).wait()
-        pltpu.make_async_copy(
-            rowc_ref.at[rslot], rowc_ref.at[rslot], row_sems.at[rslot, 1]
-        ).wait()
+        if zmajor:   # four per-channel copies, matching-size waits
+            for c in range(4):
+                pltpu.make_async_copy(
+                    rowc_ref.at[rslot, c], rowc_ref.at[rslot, c],
+                    row_sems.at[rslot, 1],
+                ).wait()
+        else:
+            pltpu.make_async_copy(
+                rowc_ref.at[rslot], rowc_ref.at[rslot], row_sems.at[rslot, 1]
+            ).wait()
 
     @pl.when(count > 0)
     def _bootstrap():
@@ -239,7 +260,7 @@ def _kernel(
             @pl.when(is_new)
             def _clear_row():
                 rowv_ref[rslot] = jnp.full(
-                    (BRICK, BRICK, 128), -limit, jnp.float32
+                    (BRICK, BRICK, 128), -limit, vol_dtype
                 )
                 rowc_ref[rslot] = jnp.zeros(
                     (4, BRICK, BRICK, 128), jnp.bfloat16
@@ -252,7 +273,9 @@ def _kernel(
                     for k in range(num_k)
                 )) + jnp.sum(cmbuf_ref[slot, i, 0:1, 0:128])
                 rowv_ref[rslot, 0:1] = jnp.where(
-                    valid, jnp.zeros((1, BRICK, 128), jnp.float32) + wtouch,
+                    valid,
+                    (jnp.zeros((1, BRICK, 128), jnp.float32) + wtouch
+                     ).astype(vol_dtype),
                     rowv_ref[rslot, 0:1])
                 continue
 
@@ -303,7 +326,8 @@ def _kernel(
             if strip == "norelay":
                 # BENCHMARK-ONLY: fuse on, row-expand/roll/RMW replaced by
                 # a raw (wrong-layout) store that keeps the results live.
-                rowv_ref[rslot, 0:2] = wt.reshape(2, BRICK, 128)
+                rowv_ref[rslot, 0:2] = wt.reshape(2, BRICK, 128).astype(
+                    vol_dtype)
                 for c in range(3):
                     rowc_ref[rslot, c, 0:2] = (
                         rgb_out[c].reshape(2, BRICK, 128).astype(jnp.bfloat16))
@@ -315,8 +339,12 @@ def _kernel(
             U = jnp.dot(rexp32, V, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
             W = pltpu.roll(U, bxi * BRICK, 1, stride=112, stride_axis=0)
+            # vol_dtype=bf16: cast AFTER the exact relayout — the stored
+            # value is bf16(f32 wt), the identical rounding the sweep
+            # renderer applies to an f32 volume before its resample
             rowv_ref[rslot] = jnp.where(
-                keep, W.reshape(BRICK, BRICK, 128), rowv_ref[rslot]
+                keep, W.reshape(BRICK, BRICK, 128).astype(vol_dtype),
+                rowv_ref[rslot]
             )
 
             call = jnp.concatenate([rgb_out, flag[None, :]], axis=0)  # [4, B3]
@@ -367,12 +395,23 @@ def integrate_dense_pallas(
     wx: int | None = None,
     xstride: int | None = None,
     cls: jnp.ndarray | None = None,
+    zmajor: bool = False,
+    vol_dtype=jnp.float32,
 ):
     """Brick-sparse fused TSDF + color, dense outputs straight from the
     kernel: (tsdf f32[Vz, Vy, Vx], color bf16[4, Vz, Vy, Vx] CHANNEL-MAJOR).
     Same fusion math/contract as tsdf_persist.integrate_affine_pallas minus
     its block->dense assembly; unoccupied voxels hold the clear values
-    (recon_integration.cpp:249-250). Requires cfg.res[0] % 128 == 0."""
+    (recon_integration.cpp:249-250). Requires cfg.res[0] % 128 == 0.
+
+    ``zmajor``: emit color as bf16[Vz, 4, Vy, Vx] — Z-MAJOR, the layout the
+    sweep renderer slices per z-plane with NO relayout (a [4, Vz, Vy, Vx]
+    volume costs XLA a full-volume copy into exactly this memory order
+    every frame: 3.3 ms at 512³, docs/PERF.md). ``vol_dtype``: TSDF output
+    dtype; bf16 stores bf16(f32 tsdf) — the identical rounding the sweep
+    applies to an f32 volume on entry, so renders are bit-identical while
+    the clear/flush/slice traffic halves (bf16 ulp at |t| ≤ limit=0.01 is
+    ~4e-5, inside the 1e-3 per-voxel contract)."""
     vx, vy, vz = cfg.res
     assert vx % 128 == 0, "dense-emit needs whole 128-lane x-rows"
     assert max_bricks % group == 0, (max_bricks, group)
@@ -430,8 +469,9 @@ def integrate_dense_pallas(
     # dense-shaped outputs: (vy, vx) is the tiled pair, so the flush DMAs
     # slice z (untiled, dynamic), y (sublane, dynamic 16-aligned — same as
     # the window DMAs) and x (lane, static 128-aligned)
-    clear_v = jnp.full((vz, vy, vx), -float(cfg.limit), jnp.float32)
-    clear_c = jnp.zeros((4, vz, vy, vx), jnp.bfloat16)
+    clear_v = jnp.full((vz, vy, vx), -float(cfg.limit), vol_dtype)
+    c_shape = (vz, 4, vy, vx) if zmajor else (4, vz, vy, vx)
+    clear_c = jnp.zeros(c_shape, jnp.bfloat16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # count, sel, offs
@@ -452,7 +492,7 @@ def integrate_dense_pallas(
             pltpu.VMEM((2, group, num_k, 2 if quad else 4, wy, 128),
                        jnp.bfloat16),
             pltpu.VMEM((2, group, NB_PAD, 128), jnp.float32),
-            pltpu.VMEM((2, BRICK, BRICK, 128), jnp.float32),
+            pltpu.VMEM((2, BRICK, BRICK, 128), vol_dtype),
             pltpu.VMEM((2, 4, BRICK, BRICK, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -464,14 +504,15 @@ def integrate_dense_pallas(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
         nby=nby, nxg=nxg, variant=variant, group=group, strip=strip, wy=wy,
         wx=wx, xstride=xstride, quad=quad, use_cls=use_cls,
+        zmajor=zmajor, vol_dtype=vol_dtype,
     )
 
     vol, cvol = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((vz, vy, vx), jnp.float32),
-            jax.ShapeDtypeStruct((4, vz, vy, vx), jnp.bfloat16),
+            jax.ShapeDtypeStruct((vz, vy, vx), vol_dtype),
+            jax.ShapeDtypeStruct(c_shape, jnp.bfloat16),
         ],
         # operand numbering includes the 3 scalar-prefetch args
         input_output_aliases={7: 0, 8: 1},

@@ -408,9 +408,11 @@ class FramePipeline:
         if self._use_affine:
             if self._dense_emit:
                 # dense-emit persistent kernel: the volume leaves the kernel
-                # already in the sweep renderer's layout (color CHANNEL-
-                # MAJOR bf16) — no block->dense assembly pass (11.6 ms of
-                # pure relayout at 256^3, docs/PERF.md)
+                # already in the sweep renderer's layout — color Z-MAJOR
+                # bf16[Vz, 4, Vy, Vx] (sliced per z-plane with no relayout)
+                # and bf16 TSDF (the rounding the sweep applies on entry
+                # anyway) — no block->dense assembly pass and no per-frame
+                # full-volume copies/converts (docs/PERF.md)
                 from ..ops.tsdf_dense import integrate_dense_pallas
 
                 wx, xstride = self._window_cols()
@@ -419,6 +421,7 @@ class FramePipeline:
                     max_bricks=min(self.max_bricks, total_bricks),
                     win_off=win_off, wy=self._window_rows(),
                     wx=wx, xstride=xstride, cls=cls,
+                    zmajor=True, vol_dtype=jnp.bfloat16,
                 )
             from ..ops.tsdf_persist import integrate_affine_pallas
 
@@ -555,7 +558,7 @@ class FramePipeline:
             rm.RenderParams(shade_mode=cfg.shade_mode),
             cfg=rmf.SweepConfig(res=self._sweep_res()),
             slab_occupied=occ_slices,
-            channel_major=self._dense_emit,
+            zmajor=self._dense_emit,
         )
 
     def _fill_impl(self, color, depth):

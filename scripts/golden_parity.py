@@ -87,9 +87,9 @@ def main() -> None:
         pipe._get_win_off(depth.shape[1], depth.shape[2]),
         pipe._kernel_tables(),
     )
-    # the dense-emit kernel leaves color channel-major; re-derive the
-    # channel-last view for the oracle renderer
-    cvol_last = jnp.moveaxis(cvol, 0, -1) if pipe._dense_emit else cvol
+    # the dense-emit kernel leaves color z-major [Vz, 4, Vy, Vx]; re-derive
+    # the channel-last view for the oracle renderer
+    cvol_last = jnp.moveaxis(cvol, 1, -1) if pipe._dense_emit else cvol
 
     limit = pipe.tsdf_cfg.limit
     center = (bbox.min + bbox.max) * 0.5
@@ -130,7 +130,7 @@ def main() -> None:
         fast = rmf.render_fast(
             vol2, cvol, cam, bbox, limit, axis, flip,
             cfg=rmf.SweepConfig(res=pipe._sweep_res()),
-            channel_major=pipe._dense_emit,
+            zmajor=pipe._dense_emit,
         )
         if not args.ab_only:
             t0 = time.time()

@@ -89,3 +89,25 @@ def test_sweep_space_skip(small_rig):
     np.testing.assert_allclose(
         np.asarray(base.color)[both], np.asarray(skip.color)[both], atol=1e-4
     )
+
+
+def test_sweep_cvol_layouts_identical(small_rig):
+    """The three cvol input layouts (channel-last, channel-major, z-major)
+    are pure relayouts of one another: render_fast must produce IDENTICAL
+    output for all three, on every sweep axis."""
+    rig, bbox, frames, cfg, vol, cvol = _setup(small_rig)
+    cv_cm = jnp.moveaxis(cvol, -1, 0)          # [4, Vz, Vy, Vx]
+    cv_zc = jnp.moveaxis(cvol, -1, 1)          # [Vz, 4, Vy, Vx]
+    for eye_off in ([0.2, 0.3, 2.3], [2.2, 0.4, -0.5], [-0.4, 2.4, 0.3]):
+        cam = _camera(bbox, eye_off)
+        v2w = rm.vol_to_world_matrix(bbox)
+        axis, flip = rmf.pick_axis(np.asarray(cam.modelview), v2w)
+        kw = dict(cfg=rmf.SweepConfig(res=(128, 128)))
+        a = rmf.render_fast(vol, cvol, cam, bbox, cfg.limit, axis, flip, **kw)
+        b = rmf.render_fast(vol, cv_cm, cam, bbox, cfg.limit, axis, flip,
+                            channel_major=True, **kw)
+        c = rmf.render_fast(vol, cv_zc, cam, bbox, cfg.limit, axis, flip,
+                            zmajor=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a.color), np.asarray(b.color))
+        np.testing.assert_array_equal(np.asarray(a.color), np.asarray(c.color))
+        np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(c.depth))

@@ -328,3 +328,42 @@ def test_auto_window_cols_parity():
     assert (d > 1e-4).mean() < 1e-4, f"{(d > 1e-4).mean():.2e} deviate"
     dc = np.abs(np.asarray(cv_s4, np.float32) - np.asarray(cv_64, np.float32))
     assert (dc > 1e-2).mean() < 1e-4
+
+
+def test_dense_kernel_zmajor_bf16(small_setup):
+    """zmajor + bf16 emission (the fused pipeline's layout) vs the default
+    layout: color is the exact transpose, TSDF is the exact bf16 cast of
+    the f32 result — the same rounding the sweep renderer applies to an
+    f32 volume on entry (so renders are bit-identical by construction)."""
+    from rgbd_recon_tpu.ops.tsdf_dense import integrate_dense_pallas
+
+    bbox = small_setup["bbox"]
+    rig = small_setup["rig"]
+    warp = bake_pixel_warp(rig, 212, 256)
+    frames = pp.preprocess(
+        jnp.asarray(small_setup["depth"]), jnp.asarray(small_setup["color"]),
+        rig, warp=warp,
+    )
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    )
+    aff = tsdf_affine.bake_affine(rig, cfg)
+
+    vol_d, cvol_d = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True
+    )
+    vol_z, cvol_z = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True,
+        zmajor=True, vol_dtype=jnp.bfloat16,
+    )
+    assert vol_z.dtype == jnp.bfloat16
+    assert cvol_z.shape == (128, 4, 128, 128)
+    np.testing.assert_array_equal(
+        np.asarray(vol_z), np.asarray(vol_d.astype(jnp.bfloat16))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cvol_z), np.asarray(jnp.moveaxis(cvol_d, 0, 1))
+    )
