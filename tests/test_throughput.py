@@ -75,9 +75,10 @@ def test_replay_batch_dp_throughput():
     import jax.numpy as jnp
 
     warp = pipe._get_warp(depth.shape[1], depth.shape[2])
+    axis, flip = pipe._pick_axis(np.asarray(mv))
     lowered = drv8._step.lower(
         jnp.asarray(d8), jnp.asarray(c8), jnp.asarray(mv), jnp.asarray(proj),
-        pipe.rig, warp, pipe._warp_data(),
+        pipe.rig, warp, pipe._warp_data(), axis, flip,
     )
     hlo = lowered.compile().as_text()
     for coll in ("all-reduce", "all-gather", "collective-permute",
