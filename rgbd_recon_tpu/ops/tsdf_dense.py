@@ -90,6 +90,7 @@ def _kernel(
     variant: str = "v3", group: int = 2, strip: str = "", wy: int = WY,
     wx: int = WX2, xstride: int = XSTRIDE2, quad: bool = False,
     use_cls: bool = False, zmajor: bool = False, vol_dtype=jnp.float32,
+    fold_offs: bool = False,
 ):
     """The brick loop runs GROUPED: ``group`` bricks per fori_loop
     iteration (unrolled members), because the floor is per-ITERATION
@@ -125,11 +126,34 @@ def _kernel(
         predicate, keeping the shared semaphore balanced."""
         return (offs_ref[clamp(b) * num_k + k] >> 24) == 0
 
-    def cm_dma(g, slot):
-        return pltpu.make_async_copy(
-            cmat_ref.at[pl.ds(g * group, group)],
-            cmbuf_ref.at[slot], cm_sems.at[slot],
-        )
+    def cm_dma_starts(g, slot):
+        """Coefficient DMA(s) for group ``g``. Per-frame-gathered cmats are
+        slot-contiguous (ONE copy per group); the session-baked full table
+        (fold_offs) is indexed directly by brick id via sel — one copy per
+        member, all sharing the group's semaphore."""
+        if fold_offs:
+            for i in range(group):
+                pltpu.make_async_copy(
+                    cmat_ref.at[sel_ref[clamp(g * group + i)]],
+                    cmbuf_ref.at[slot, i], cm_sems.at[slot],
+                ).start()
+        else:
+            pltpu.make_async_copy(
+                cmat_ref.at[pl.ds(g * group, group)],
+                cmbuf_ref.at[slot], cm_sems.at[slot],
+            ).start()
+
+    def cm_wait(slot):
+        if fold_offs:   # per-member copies: matching-size waits
+            for i in range(group):
+                pltpu.make_async_copy(
+                    cmbuf_ref.at[slot, i], cmbuf_ref.at[slot, i],
+                    cm_sems.at[slot],
+                ).wait()
+        else:
+            pltpu.make_async_copy(
+                cmbuf_ref.at[slot], cmbuf_ref.at[slot], cm_sems.at[slot]
+            ).wait()
 
     def row_of(b):
         return sel_ref[clamp(b)] // XROW
@@ -196,7 +220,7 @@ def _kernel(
 
     @pl.when(count > 0)
     def _bootstrap():
-        cm_dma(0, 0).start()
+        cm_dma_starts(0, 0)
         for i in range(group):
             for k in range(num_k):
                 @pl.when(win_needed(i, k))
@@ -223,14 +247,14 @@ def _kernel(
         @pl.when(g + 1 < ngroups)
         def _prefetch():
             nslot = jax.lax.rem(g + 1, 2)
-            cm_dma(g + 1, nslot).start()
+            cm_dma_starts(g + 1, nslot)
             for i in range(group):
                 for k in range(num_k):
                     @pl.when(win_needed((g + 1) * group + i, k))
                     def _start(i=i, k=k, nslot=nslot):
                         win_dma((g + 1) * group + i, nslot, i, k).start()
 
-        cm_dma(g, slot).wait()
+        cm_wait(slot)
         for i in range(group):
             for k in range(num_k):
                 @pl.when(win_needed(g * group + i, k))
@@ -280,7 +304,27 @@ def _kernel(
                 continue
 
             po_b = [offs_ref[clamp(b) * num_k + k] for k in range(num_k)]
-            cm_t = cmbuf_ref[slot, i][:, : num_k * 4]
+            if fold_offs:
+                # window-offset fold, in-kernel (fold_window_coords minus
+                # the session-invariant scale, which is baked into the full
+                # table): subtract (x_lo + 0.5, y_lo + 0.5) from the
+                # CONSTANT basis row (row 0) of the u/v channels BEFORE the
+                # warp matmul — identical f32 operands and association as
+                # the host-side fold, hence bit-exact (x_lo/y_lo are small
+                # integers, + 0.5 is exact in f32)
+                rid0 = jax.lax.broadcasted_iota(jnp.int32, (NB_PAD, 128), 0)
+                lid0 = jax.lax.broadcasted_iota(jnp.int32, (NB_PAD, 128), 1)
+                off_m = jnp.zeros((NB_PAD, 128), jnp.float32)
+                for k in range(num_k):
+                    x_lo = ((po_b[k] & 0xFFFF) * xstride).astype(jnp.float32)
+                    y_lo = (((po_b[k] >> 16) & 0xFF) * 8).astype(jnp.float32)
+                    off_m = jnp.where(
+                        (rid0 == 0) & (lid0 == 4 * k), x_lo + 0.5, off_m)
+                    off_m = jnp.where(
+                        (rid0 == 0) & (lid0 == 4 * k + 1), y_lo + 0.5, off_m)
+                cm_t = (cmbuf_ref[slot, i] - off_m)[:, : num_k * 4]
+            else:
+                cm_t = cmbuf_ref[slot, i][:, : num_k * 4]
             pc_all = jax.lax.dot_general(
                 cm_t, basis_ref[...],
                 (((0,), (0,)), ((), ())),
@@ -380,6 +424,31 @@ def _kernel(
         wait_row(rslot)
 
 
+def bake_cmats_kernel(affine: AffineTables, h: int, w: int) -> jnp.ndarray:
+    """Session-baked FULL kernel-layout coefficient table
+    f32[NB, NB_PAD, 128]: the per-brick quadratic warp coefficients in the
+    kernel's (basis-major, channel-lane) order with the frame-INVARIANT
+    pixel scale (u*w, v*h — fold_window_coords' first half) pre-applied.
+
+    With this table, integrate_dense_pallas skips its per-frame
+    occupied-brick gather + fold + pad chain (measured 1.05 ms/frame at
+    512³ over 32768 bricks, docs/PERF.md lever #2): the kernel DMAs each
+    brick's row directly via ``sel`` and applies the per-frame window
+    offset in-kernel (bit-exact — same f32 operands and association).
+    Pure function of (rig bake, sensor size); cache it host-side and pass
+    as a jit argument like the pipeline's other kernel tables."""
+    num_k, nb, nchan, nbasis = affine.coeffs.shape
+    assert nchan == 4 and nbasis == NBASIS, affine.coeffs.shape
+    cm = jnp.transpose(affine.coeffs, (1, 3, 0, 2)).reshape(
+        nb, NBASIS, num_k * 4
+    )
+    scale = jnp.tile(jnp.array([w, h, 1.0, 1.0], jnp.float32), num_k)
+    cm = cm * scale[None, None, :]
+    return jnp.pad(
+        cm, ((0, 0), (0, NB_PAD - NBASIS), (0, 128 - num_k * 4))
+    )
+
+
 def integrate_dense_pallas(
     frames,
     affine: AffineTables,
@@ -397,6 +466,7 @@ def integrate_dense_pallas(
     cls: jnp.ndarray | None = None,
     zmajor: bool = False,
     vol_dtype=jnp.float32,
+    cmats_full: jnp.ndarray | None = None,
 ):
     """Brick-sparse fused TSDF + color, dense outputs straight from the
     kernel: (tsdf f32[Vz, Vy, Vx], color bf16[4, Vz, Vy, Vx] CHANNEL-MAJOR).
@@ -456,13 +526,24 @@ def integrate_dense_pallas(
         offs = offs | (jnp.transpose(cls[:, idx_list], (1, 0))
                        .astype(jnp.int32) << 24).reshape(-1)
 
-    cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
-    cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
-    if variant in ("v2", "v3"):
-        cmats = fold_window_coords(cmats, offs3, num_k, h, w, xstride=xstride)
-    cmats = jnp.pad(
-        cmats, ((0, 0), (0, NB_PAD - NBASIS), (0, 128 - num_k * 4))
-    )
+    fold_offs = cmats_full is not None
+    if fold_offs:
+        # session-baked full table (bake_cmats_kernel): no per-frame
+        # gather/fold/pad — the kernel indexes rows by brick id via sel
+        # and folds the window offset itself. v3-only (v1/v2 expect
+        # unfolded resp. host-folded coordinates).
+        assert variant == "v3", "cmats_full requires the v3 fuse path"
+        assert cmats_full.shape == (nb, NB_PAD, 128), cmats_full.shape
+        cmats = cmats_full
+    else:
+        cmats = jnp.transpose(affine.coeffs[:, idx_list], (1, 3, 0, 2))
+        cmats = cmats.reshape(max_bricks, NBASIS, num_k * 4)
+        if variant in ("v2", "v3"):
+            cmats = fold_window_coords(cmats, offs3, num_k, h, w,
+                                       xstride=xstride)
+        cmats = jnp.pad(
+            cmats, ((0, 0), (0, NB_PAD - NBASIS), (0, 128 - num_k * 4))
+        )
     basis = jnp.pad(jnp.asarray(_brick_basis()), ((0, NB_PAD - NBASIS), (0, 0)))
     sel = idx_list.astype(jnp.int32)
 
@@ -504,7 +585,7 @@ def integrate_dense_pallas(
         _kernel, num_k=num_k, h=h, w=w, limit=float(cfg.limit),
         nby=nby, nxg=nxg, variant=variant, group=group, strip=strip, wy=wy,
         wx=wx, xstride=xstride, quad=quad, use_cls=use_cls,
-        zmajor=zmajor, vol_dtype=vol_dtype,
+        zmajor=zmajor, vol_dtype=vol_dtype, fold_offs=fold_offs,
     )
 
     vol, cvol = pl.pallas_call(

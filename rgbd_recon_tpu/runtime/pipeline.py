@@ -235,6 +235,7 @@ class FramePipeline:
         self._win_off_hw = None
         self._win_off = None
         self._tables_kernel = None
+        self._cmats_full = None  # session-baked full coefficient table
         self._wy = None   # auto window height is a function of the bake
         self._wxs = None  # auto (x width, x stride) likewise
 
@@ -422,6 +423,7 @@ class FramePipeline:
                     win_off=win_off, wy=self._window_rows(),
                     wx=wx, xstride=xstride, cls=cls,
                     zmajor=True, vol_dtype=jnp.bfloat16,
+                    cmats_full=tables_kernel,
                 )
             from ..ops.tsdf_persist import integrate_affine_pallas
 
@@ -451,11 +453,29 @@ class FramePipeline:
         return self.affine if self._use_affine else self.tables
 
     def _kernel_tables(self):
-        """Cached kernel-layout warp table (pure function of the rig).
-        Host-side cache — the result is passed as a jit ARGUMENT (a cached
-        device array closed over at trace time would be serialized into the
-        compile request)."""
-        if self._use_affine or not self._use_pallas():
+        """Cached kernel-layout warp table (pure function of the rig and
+        sensor size). Host-side cache — the result is passed as a jit
+        ARGUMENT (a cached device array closed over at trace time would be
+        serialized into the compile request).
+
+        Affine dense-emit path: the session-baked FULL coefficient table
+        (tsdf_dense.bake_cmats_kernel) — kills the per-frame occupied-brick
+        gather/fold/pad (~1 ms at 512³, docs/PERF.md lever #2). None until
+        the first _get_win_off reveals the sensor size (the kernel then
+        falls back to per-frame gathering for that first dispatch)."""
+        if self._use_affine:
+            if not (self.use_fast and self._dense_emit):
+                return None
+            if getattr(self, "_wy_sensor_h", None) is None:
+                return None
+            if getattr(self, "_cmats_full", None) is None:
+                from ..ops.tsdf_dense import bake_cmats_kernel
+
+                self._cmats_full = jax.jit(
+                    bake_cmats_kernel, static_argnums=(1, 2)
+                )(self.affine, self._wy_sensor_h, self._wx_sensor_w)
+            return self._cmats_full
+        if not self._use_pallas():
             return None
         if getattr(self, "_tables_kernel", None) is None:
             from ..ops.tsdf_pallas import kernel_tables

@@ -330,6 +330,45 @@ def test_auto_window_cols_parity():
     assert (dc > 1e-2).mean() < 1e-4
 
 
+def test_dense_kernel_cmats_full(small_setup):
+    """Session-baked full coefficient table + in-kernel window-offset fold
+    (bake_cmats_kernel / cmats_full) vs the per-frame gather+fold path:
+    bit-identical outputs — the kernel subtracts the same f32 offset values
+    (x_lo + 0.5 exact) from the same scaled coefficients before the same
+    warp matmul, just sourced by direct sel-indexed DMA."""
+    from rgbd_recon_tpu.ops.tsdf_dense import (
+        bake_cmats_kernel, integrate_dense_pallas,
+    )
+
+    bbox = small_setup["bbox"]
+    rig = small_setup["rig"]
+    warp = bake_pixel_warp(rig, 212, 256)
+    frames = pp.preprocess(
+        jnp.asarray(small_setup["depth"]), jnp.asarray(small_setup["color"]),
+        rig, warp=warp,
+    )
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    )
+    aff = tsdf_affine.bake_affine(rig, cfg)
+    h, w = frames.depth.shape[1], frames.depth.shape[2]
+    cm_full = bake_cmats_kernel(aff, h, w)
+
+    vol_g, cvol_g = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True,
+        zmajor=True, vol_dtype=jnp.bfloat16,
+    )
+    vol_f, cvol_f = integrate_dense_pallas(
+        frames, aff, cfg, mask16, max_bricks=128, interpret=True,
+        zmajor=True, vol_dtype=jnp.bfloat16, cmats_full=cm_full,
+    )
+    np.testing.assert_array_equal(np.asarray(vol_f), np.asarray(vol_g))
+    np.testing.assert_array_equal(np.asarray(cvol_f), np.asarray(cvol_g))
+
+
 def test_dense_kernel_zmajor_bf16(small_setup):
     """zmajor + bf16 emission (the fused pipeline's layout) vs the default
     layout: color is the exact transpose, TSDF is the exact bf16 cast of
