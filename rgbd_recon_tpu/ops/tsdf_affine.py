@@ -312,6 +312,62 @@ def _footprint_extents(tables: AffineTables, chan: int,
     return ext[u0 >= 0.0]
 
 
+class CullBake(NamedTuple):
+    """Frame-INVARIANT half of block_depth_cull — everything derivable
+    from the affine bake alone (footprint hulls, covered cell ranges,
+    oversize/edge/validity flags). ~10 small [K, NB] tensors; baking it
+    once per session removes the per-frame all-brick hull einsum + px
+    bound construction from the fused step (docs/PERF.md lever #2 —
+    ~1-2 ms/frame at 512^3 over the 32768-brick grid). Produced by
+    ``bake_cull``; consumed by ``block_depth_cull_baked`` (whose math is
+    bit-identical to ``block_depth_cull`` — the latter is now a
+    bake-then-apply wrapper)."""
+    d_lo: jnp.ndarray    # f32[K, NB] brick depth band (hull -/+ lim margin)
+    d_hi: jnp.ndarray
+    cya: jnp.ndarray     # i32[K, NB] covered depth-mip cell ranges
+    cyb: jnp.ndarray
+    cxa: jnp.ndarray
+    cxb: jnp.ndarray
+    wide: jnp.ndarray    # bool[K, NB] footprint exceeds the cell budget
+    edge: jnp.ndarray    # bool[K, NB] footprint leaves the image
+    valid: jnp.ndarray   # bool[K, NB] bake-valid (sensor, brick)
+
+
+def bake_cull(tables: AffineTables, h: int, w: int,
+              limit: float = 0.01, cell: int = 8, shifts: int = 5,
+              margin: float = 1.25) -> CullBake:
+    """Session bake of block_depth_cull's frame-invariant quantities
+    (same formulas, hoisted verbatim — see block_depth_cull's docstring
+    for semantics)."""
+    k, nb = tables.coeffs.shape[:2]
+    lim = limit * margin
+    ch, cw = -(-h // cell), -(-w // cell)
+
+    sb = jnp.asarray(_hull_basis())
+    # f32 MXU precision: the hull must be REPRODUCIBLE across programs
+    # (the bake runs in its own jit; default-precision bf16 matmuls flip
+    # borderline cells between the baked and in-trace evaluations)
+    pts = jnp.einsum("knca,as->kncs", tables.coeffs[..., :3, :], sb,
+                     precision=jax.lax.Precision.HIGHEST)
+    u_lo = jnp.min(pts[:, :, 0], -1) * w - 0.5     # px
+    u_hi = jnp.max(pts[:, :, 0], -1) * w - 0.5
+    v_lo = jnp.min(pts[:, :, 1], -1) * h - 0.5
+    v_hi = jnp.max(pts[:, :, 1], -1) * h - 0.5
+    d_lo = jnp.min(pts[:, :, 2], -1) - lim
+    d_hi = jnp.max(pts[:, :, 2], -1) + lim
+
+    cya = jnp.clip(jnp.floor((v_lo - 1.0) / cell).astype(jnp.int32), 0, ch - 1)
+    cyb = jnp.clip(jnp.floor((v_hi + 1.0) / cell).astype(jnp.int32), 0, ch - 1)
+    cxa = jnp.clip(jnp.floor((u_lo - 1.0) / cell).astype(jnp.int32), 0, cw - 1)
+    cxb = jnp.clip(jnp.floor((u_hi + 1.0) / cell).astype(jnp.int32), 0, cw - 1)
+
+    wide = ((u_hi - u_lo) > shifts * cell - 2) | (
+        (v_hi - v_lo) > shifts * cell - 2)
+    edge = (u_lo < 0.0) | (u_hi > w - 1.0) | (v_lo < 0.0) | (v_hi > h - 1.0)
+    valid = tables.coeffs[..., 0, 0] >= 0.0
+    return CullBake(d_lo, d_hi, cya, cyb, cxa, cxb, wide, edge, valid)
+
+
 def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
                      depth_n: jnp.ndarray, quality: jnp.ndarray,
                      silhouette: jnp.ndarray | None = None,
@@ -369,21 +425,28 @@ def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
     cull's dropped-block colors.
 
     Returns (mask16 & keep, keep, cls[K, NB] i32)."""
+    h, w = depth_n.shape[1:]
+    bake = bake_cull(tables, h, w, limit, cell, shifts, margin)
+    return block_depth_cull_baked(mask16, bake, depth_n, quality,
+                                  silhouette, limit, cell, shifts, margin)
+
+
+def block_depth_cull_baked(mask16: jnp.ndarray, bake: CullBake,
+                           depth_n: jnp.ndarray, quality: jnp.ndarray,
+                           silhouette: jnp.ndarray | None = None,
+                           limit: float = 0.01, cell: int = 8,
+                           shifts: int = 5, margin: float = 1.25):
+    """Per-frame half of block_depth_cull over a session CullBake —
+    depth mips, covered-cell range reduce and the band/class compares
+    (``limit``/``cell``/``shifts``/``margin`` must match the bake's)."""
     nbz, nby, nbx = mask16.shape
-    k, nb = tables.coeffs.shape[:2]
-    assert nb == nbz * nby * nbx, (tables.coeffs.shape, mask16.shape)
+    k, nb = bake.d_lo.shape
+    assert nb == nbz * nby * nbx, (bake.d_lo.shape, mask16.shape)
     h, w = depth_n.shape[1:]
     lim = limit * margin
     big = jnp.float32(1e9)
-
-    sb = jnp.asarray(_hull_basis())
-    pts = jnp.einsum("knca,as->kncs", tables.coeffs[..., :3, :], sb)
-    u_lo = jnp.min(pts[:, :, 0], -1) * w - 0.5     # px
-    u_hi = jnp.max(pts[:, :, 0], -1) * w - 0.5
-    v_lo = jnp.min(pts[:, :, 1], -1) * h - 0.5
-    v_hi = jnp.max(pts[:, :, 1], -1) * h - 0.5
-    d_lo = jnp.min(pts[:, :, 2], -1) - lim
-    d_hi = jnp.max(pts[:, :, 2], -1) + lim
+    d_lo, d_hi = bake.d_lo, bake.d_hi
+    cya, cyb, cxa, cxb = bake.cya, bake.cyb, bake.cxa, bake.cxb
 
     # 16x16 depth min/max mips over accumulation-capable (qual > 0) pixels
     ch, cw = -(-h // cell), -(-w // cell)
@@ -401,11 +464,6 @@ def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
     # floor((max+1)/cell)], <= ``shifts`` cells for in-budget extents —
     # reduced with shifted one-hot row matmuls + elementwise min (gathers
     # serialize on TPU; out-of-range shifts substitute the identity)
-    cya = jnp.clip(jnp.floor((v_lo - 1.0) / cell).astype(jnp.int32), 0, ch - 1)
-    cyb = jnp.clip(jnp.floor((v_hi + 1.0) / cell).astype(jnp.int32), 0, ch - 1)
-    cxa = jnp.clip(jnp.floor((u_lo - 1.0) / cell).astype(jnp.int32), 0, cw - 1)
-    cxb = jnp.clip(jnp.floor((u_hi + 1.0) / cell).astype(jnp.int32), 0, cw - 1)
-
     def range_reduce(mip, op, fill):
         """min/max of mip[k, cy, cx] over the block's covered cell
         rectangle (clamped to shifts^2 cells; wider handled by ``wide``)."""
@@ -440,9 +498,7 @@ def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
         full_live = jnp.zeros((k, nb), bool)
 
     # the cell range covers footprints up to shifts*cell - 2 px; wider keeps
-    wide = ((u_hi - u_lo) > shifts * cell - 2) | (
-        (v_hi - v_lo) > shifts * cell - 2)
-    edge = (u_lo < 0.0) | (u_hi > w - 1.0) | (v_lo < 0.0) | (v_hi > h - 1.0)
+    wide, edge = bake.wide, bake.edge
     cd = depth_n[:, 0, 0]
     c_live = quality[:, 0, 0] > 0.0
     wmin = jnp.where(edge, jnp.minimum(wmin, jnp.where(c_live, cd, big)[:, None]),
@@ -451,7 +507,7 @@ def block_depth_cull(mask16: jnp.ndarray, tables: AffineTables,
                      wmax)
 
     band = (d_hi >= wmin) & (d_lo <= wmax)
-    valid_brick = tables.coeffs[..., 0, 0] >= 0.0
+    valid_brick = bake.valid
     inv_live = c_live & (jnp.abs(cd) < lim)        # corner in band of d=0
     touch = jnp.where(valid_brick, band | wide, inv_live[:, None])
     keep = jnp.any(touch, axis=0).reshape(nbz, nby, nbx)

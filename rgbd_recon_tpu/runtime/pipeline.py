@@ -238,6 +238,8 @@ class FramePipeline:
         self._cmats_full = None  # session-baked full coefficient table
         self._wy = None   # auto window height is a function of the bake
         self._wxs = None  # auto (x width, x stride) likewise
+        self._cull_bake = None   # session CullBake (frame-invariant hulls)
+        self._cull_hw = None
 
     def retune(self, voxel_size: float | None = None,
                brick_size: float | None = None,
@@ -341,9 +343,12 @@ class FramePipeline:
 
     # -- stage implementations (pure) -------------------------------------
 
-    def _pre_impl(self, depth_m, color, rig, warp):
+    def _pre_impl(self, depth_m, color, rig, warp, cull_bake=None):
         """1preprocess: sensor filtering + brick occupancy (device-resident,
-        replacing the reference's GPU->CPU brick readback)."""
+        replacing the reference's GPU->CPU brick readback). ``cull_bake``:
+        session CullBake (ops/tsdf_affine.bake_cull) — the cull's
+        frame-invariant hull/flag tensors; None re-derives them in-trace
+        (external callers, small test volumes)."""
         cfg = self.cfg
         frames = pp.preprocess(depth_m, color, rig, self.pre_cfg, warp)
         mask = None
@@ -371,13 +376,22 @@ class FramePipeline:
                     mask, self.brick_grid, self.tsdf_cfg.res, tsdf_fast.BRICK
                 )
                 if cfg.brick_cull and self._use_affine:
-                    from ..ops.tsdf_affine import block_depth_cull
-
-                    mask16, _, cls = block_depth_cull(
-                        mask16, self.affine, frames.depth[..., 0],
-                        frames.quality, frames.silhouette,
-                        float(self.tsdf_cfg.limit),
+                    from ..ops.tsdf_affine import (
+                        block_depth_cull, block_depth_cull_baked,
                     )
+
+                    if cull_bake is not None:
+                        mask16, _, cls = block_depth_cull_baked(
+                            mask16, cull_bake, frames.depth[..., 0],
+                            frames.quality, frames.silhouette,
+                            float(self.tsdf_cfg.limit),
+                        )
+                    else:
+                        mask16, _, cls = block_depth_cull(
+                            mask16, self.affine, frames.depth[..., 0],
+                            frames.quality, frames.silhouette,
+                            float(self.tsdf_cfg.limit),
+                        )
             else:
                 vox_mask = brick_ops.voxel_occupancy(
                     mask, self.brick_grid, self.tsdf_cfg.res
@@ -535,6 +549,23 @@ class FramePipeline:
             )
         return self._wxs
 
+    def _get_cull_bake(self, h: int, w: int):
+        """Cached frame-invariant half of the depth-band block cull
+        (ops/tsdf_affine.bake_cull): footprint hulls, covered cell ranges
+        and flags — a pure function of the affine bake and sensor size.
+        Passing it as a jit argument keeps the per-frame cull to depth
+        mips + range reduce + compares (docs/PERF.md lever #2)."""
+        if not (self.use_fast and self._use_affine and self.cfg.brick_cull):
+            return None
+        if getattr(self, "_cull_hw", None) != (h, w):
+            from ..ops.tsdf_affine import bake_cull
+
+            self._cull_bake = jax.jit(
+                bake_cull, static_argnums=(1, 2, 3, 4, 5, 6)
+            )(self.affine, h, w, float(self.tsdf_cfg.limit))
+            self._cull_hw = (h, w)
+        return self._cull_bake
+
     def _get_win_off(self, h: int, w: int):
         """Cached per-brick window origins for the sensor size (pure
         function of the calibration tables; ~1 ms to derive on device)."""
@@ -590,7 +621,7 @@ class FramePipeline:
 
     def _step_impl(self, depth_m, color, modelview, proj, rig=None, warp=None,
                    tables=None, axis=2, flip=False, win_off=None,
-                   tables_kernel=None) -> FrameOutput:
+                   tables_kernel=None, cull_bake=None) -> FrameOutput:
         """The fully fused single-program frame (cfg.fused; also the dense
         reference-faithful path when the fast path is disabled). ``rig``,
         ``warp`` and ``tables`` are data arguments (see __init__ note); None
@@ -601,7 +632,7 @@ class FramePipeline:
         if tables is None:
             tables = self._warp_data()
         frames, mask, vox_mask, mask16, occupied, n_occ, cls = self._pre_impl(
-            depth_m, color, rig, warp
+            depth_m, color, rig, warp, cull_bake
         )
         if self.use_fast:
             vol, cvol = self._integrate_impl(
@@ -671,6 +702,7 @@ class FramePipeline:
             axis, flip = self._pick_axis(modelview)
         warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
         win_off = self._get_win_off(depth_m.shape[1], depth_m.shape[2])
+        cull_bake = self._get_cull_bake(depth_m.shape[1], depth_m.shape[2])
         depth_m = jnp.asarray(depth_m)
         color = jnp.asarray(color)
         modelview = jnp.asarray(modelview)
@@ -679,11 +711,11 @@ class FramePipeline:
         if self.cfg.fused or not self.use_fast:
             return self._step(
                 depth_m, color, modelview, proj, self._rig_for_step(warp), warp, self._warp_data(),
-                axis, flip, win_off, self._kernel_tables(),
+                axis, flip, win_off, self._kernel_tables(), cull_bake,
             )
 
         frames, mask, vox_mask, mask16, occupied, n_occ, cls = self._pre(
-            depth_m, color, self._rig_for_step(warp), warp
+            depth_m, color, self._rig_for_step(warp), warp, cull_bake
         )
         vol, cvol = self._integrate(
             frames, mask16, self._warp_data(), win_off, self._kernel_tables(),
@@ -708,6 +740,7 @@ class FramePipeline:
             axis, flip = self._pick_axis(modelview)
         warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
         win_off = self._get_win_off(depth_m.shape[1], depth_m.shape[2])
+        cull_bake = self._get_cull_bake(depth_m.shape[1], depth_m.shape[2])
         depth_m = jnp.asarray(depth_m)
         color = jnp.asarray(color)
         modelview = jnp.asarray(modelview)
@@ -719,7 +752,8 @@ class FramePipeline:
                     self._step(
                         depth_m, color, modelview, proj,
                         self._rig_for_step(warp), warp,
-                        self._warp_data(), axis, flip, win_off, self._kernel_tables(),
+                        self._warp_data(), axis, flip, win_off,
+                        self._kernel_tables(), cull_bake,
                     )
                 )
             return out
@@ -727,7 +761,8 @@ class FramePipeline:
         with db.scope("1preprocess"):
             (frames, mask, vox_mask, mask16, occupied,
              n_occ, cls) = jax.block_until_ready(
-                self._pre(depth_m, color, self._rig_for_step(warp), warp)
+                self._pre(depth_m, color, self._rig_for_step(warp), warp,
+                          cull_bake)
             )
         with db.scope("2integrate"):
             vol, cvol = jax.block_until_ready(
@@ -761,6 +796,7 @@ class FramePipeline:
             axis, flip = self._pick_axis(modelview)
         warp = self._get_warp(depth_m.shape[1], depth_m.shape[2])
         win_off = self._get_win_off(depth_m.shape[1], depth_m.shape[2])
+        cull_bake = self._get_cull_bake(depth_m.shape[1], depth_m.shape[2])
         depth_m = jnp.asarray(depth_m)
         color = jnp.asarray(color)
         modelview = jnp.asarray(modelview)
@@ -772,7 +808,8 @@ class FramePipeline:
                 self._step(
                     depth_m, color, modelview, proj,
                     self._rig_for_step(warp), warp,
-                    self._warp_data(), axis, flip, win_off, self._kernel_tables(),
+                    self._warp_data(), axis, flip, win_off,
+                    self._kernel_tables(), cull_bake,
                 )
             )
             self._log(f"  fused step: {time.time()-t0:.1f}s")
@@ -780,7 +817,8 @@ class FramePipeline:
         t0 = time.time()
         self._log("compiling 1preprocess ...")
         pre = jax.block_until_ready(
-            self._pre(depth_m, color, self._rig_for_step(warp), warp)
+            self._pre(depth_m, color, self._rig_for_step(warp), warp,
+                      cull_bake)
         )
         self._log(f"  1preprocess: {time.time()-t0:.1f}s")
         frames, mask, vox_mask, mask16, occupied, n_occ, cls = pre

@@ -155,6 +155,39 @@ def test_class_skip_parity():
     np.testing.assert_array_equal(c0[:3][:, sel], c1[:3][:, sel])
 
 
+def test_cull_bake_split_exact():
+    """bake_cull + block_depth_cull_baked ≡ block_depth_cull bit-exactly
+    (the session-bake split moves only frame-invariant tensors out of the
+    frame; the per-frame math is the same ops in the same order)."""
+    from rgbd_recon_tpu.ops.tsdf_affine import bake_cull, block_depth_cull_baked
+
+    bbox = Bbox.default()
+    rig, cams = synthetic.synthetic_rig(
+        num_sensors=2, bbox=bbox, fwd_res=(32, 48, 32), inv_res=(48, 48, 48),
+        width=96, height=80,
+    )
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    cfg = TsdfConfig((128, 128, 128), 0.01)
+    aff = tsdf_affine.bake_affine(rig, cfg)
+    warp = bake_pixel_warp(rig, 80, 96)
+    frames = pp.preprocess(jnp.asarray(depth), jnp.asarray(color), rig,
+                           warp=warp)
+    grid = brick_ops.make_brick_grid(bbox, 0.1, float(np.max(bbox.size) / 128))
+    counts = brick_ops.mark_bricks(frames.world, frames.world_valid, grid)
+    mask16 = brick_ops.block_occupancy(
+        brick_ops.occupancy_mask(counts, 10), grid, cfg.res
+    )
+    args = (frames.depth[..., 0], frames.quality, frames.silhouette,
+            float(cfg.limit))
+    m_a, k_a, c_a = block_depth_cull(mask16, aff, *args)
+    bake = bake_cull(aff, 80, 96, float(cfg.limit))
+    m_b, k_b, c_b = block_depth_cull_baked(mask16, bake, *args)
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    np.testing.assert_array_equal(np.asarray(k_a), np.asarray(k_b))
+    np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_b))
+
+
 def test_block_cull_wide_and_invalid_kept():
     """Footprints wider than the pooled mip window and bricks invalid in
     the bake with a live corner are kept conservatively."""
