@@ -96,7 +96,9 @@ def _classify(long_name: str) -> str:
         return "bilateral"
     if "424,512]" in s:
         return "preprocess"
-    if "256,256,256]" in s:
+    if "256,256,256]" in s or "512,512,512]" in s:
+        # a 512^3 volume also matches the sweep's "512,512]" plane
+        # pattern — volume-shaped ops must classify FIRST
         if "custom-call" in s:
             return "integrate-kernel"
         if "broadcast" in s:
