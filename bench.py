@@ -206,26 +206,49 @@ def worker() -> None:
 
     from rgbd_recon_tpu.utils.math import Bbox
     from rgbd_recon_tpu.calibration import synthetic
+    from rgbd_recon_tpu.calibration.rig import RigCalibration
 
     bbox = Bbox.default()
-    log(f"building synthetic {num_sensors}-sensor rig + frames"
-        + (f" (distortion={distort})" if distort else ""))
-    if distort:
-        rig, cams, ccams = synthetic.synthetic_rig(
-            num_sensors=num_sensors, bbox=bbox,
-            fwd_res=(128, 256, 128), inv_res=(128, 128, 128),
-            width=512, height=424, distortion=float(distort),
-        )
+    scene_kind = os.environ.get("BENCH_SCENE", "sphere")
+    # the distorted rig's cv-volume bake (undistort/unwarp fixed-point over
+    # 4.2M-point grids in host numpy) costs ~20 min on a 1-core box — cache
+    # the built (rig, frames) on disk keyed by the full build config
+    rig_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        f"rig_k{num_sensors}_d{distort or '0'}_{scene_kind}.npz",
+    )
+    if os.path.exists(rig_cache):
+        log(f"loading cached rig + frames from {rig_cache}")
+        z = np.load(rig_cache)
+        rig = RigCalibration(**{f: z[f] for f in RigCalibration._fields})
+        depth, color = z["depth"], z["color"]
     else:
-        rig, cams = synthetic.synthetic_rig(
-            num_sensors=num_sensors, bbox=bbox,
-            fwd_res=(128, 256, 128),  # reference forward-volume res (CalibVolumes.cpp:19)
-            inv_res=(128, 128, 128),
-            width=512, height=424,    # Kinect v2
-        )
-        ccams = None
-    scene = synthetic.SphereScene.default(bbox)
-    depth, color = synthetic.render_frames(cams, scene, color_cams=ccams)
+        log(f"building synthetic {num_sensors}-sensor rig + frames"
+            + (f" (distortion={distort})" if distort else ""))
+        if distort:
+            rig, cams, ccams = synthetic.synthetic_rig(
+                num_sensors=num_sensors, bbox=bbox,
+                fwd_res=(128, 256, 128), inv_res=(128, 128, 128),
+                width=512, height=424, distortion=float(distort),
+            )
+        else:
+            rig, cams = synthetic.synthetic_rig(
+                num_sensors=num_sensors, bbox=bbox,
+                fwd_res=(128, 256, 128),  # reference forward-volume res (CalibVolumes.cpp:19)
+                inv_res=(128, 128, 128),
+                width=512, height=424,    # Kinect v2
+            )
+            ccams = None
+        scene = synthetic.make_scene(scene_kind, bbox)
+        depth, color = synthetic.render_frames(cams, scene, color_cams=ccams)
+        try:
+            os.makedirs(os.path.dirname(rig_cache), exist_ok=True)
+            np.savez(rig_cache, depth=depth, color=color,
+                     **{f: np.asarray(getattr(rig, f))
+                        for f in RigCalibration._fields})
+        except Exception as e:
+            log(f"rig cache write failed (continuing): {e}")
+    cams = None
 
     for tsdf_n in ladder:
         try:

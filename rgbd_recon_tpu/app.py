@@ -25,7 +25,9 @@ control surface is kept 1:1:
 from __future__ import annotations
 
 import os
+import queue
 import sys
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -109,6 +111,96 @@ def load_config(cfg: AppConfig, file_name: str) -> None:
 
 # recon_mode indices (GUI radio buttons, kinect_client.cpp:344-347)
 MODE_NAMES = {0: "points", 1: "integration", 2: "trigrid", 3: "mvt"}
+
+
+class FrameMonitor:
+    """Asynchronous per-frame watchdog + completion fence (VERDICT r4 #3).
+
+    The reference's GL error watchdog checks every call synchronously
+    (kinect_client.cpp:1017-1049) — cheap on a local GPU. Here every
+    device→host read pays the remote backend's ~35 ms RTT, so per-frame
+    blocking reads in the render loop would serialize it far below the
+    device frame rate. Instead the loop SUBMITS each frame's device refs to
+    a small pool of reader threads:
+
+      * every frame: a scalar fence (all-finite flag packed with the
+        occupied-brick count) is read back — this both (a) proves the frame
+        actually completed on device (``block_until_ready`` alone returns
+        early on this backend, docs/PERF.md) and (b) runs the full
+        watch_errors contract: non-finite pixels and brick-capacity
+        overflow are still detected for EVERY frame, just a few frames
+        late;
+      * every ``publish_every`` frames (or on demand): the full frame is
+        read for the live viewer.
+
+    The bounded queue gives backpressure: the loop can run at most
+    ``depth`` frames ahead of verified completion, so the wall FPS the app
+    reports is a completion rate, not a dispatch rate. Reads of different
+    frames proceed concurrently on ``workers`` threads (the RTT is latency,
+    not bandwidth), so the fence ceiling is workers/RTT ≈ 85+/s."""
+
+    def __init__(self, pipeline, viewer=None, workers: int = 3,
+                 depth: int = 8, publish_every: int = 10):
+        self.pipeline = pipeline
+        self.viewer = viewer
+        self.publish_every = publish_every
+        self.error: BaseException | None = None
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._threads = [
+            threading.Thread(target=self._worker, name=f"frame-mon-{i}",
+                             daemon=True)
+            for i in range(workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def submit(self, frame_no: int, fence, rgba, out) -> None:
+        """Called from the render loop. ``fence``: device scalar pair
+        (finite_flag, occupied_bricks) enqueued right after the frame.
+        Blocks when ``depth`` frames are pending (backpressure)."""
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+        self._q.put((frame_no, fence, rgba, out))
+
+    def _worker(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            frame_no, fence, rgba, out = item
+            try:
+                f = np.asarray(fence)
+                finite_ok, n_occ = bool(f[0]), int(f[1])
+                if not finite_ok:
+                    raise RuntimeError(
+                        f"watch_errors: non-finite values in frame {frame_no}"
+                    )
+                if out is not None and self.pipeline.use_fast \
+                        and n_occ > self.pipeline.max_bricks:
+                    raise RuntimeError(
+                        f"occupied bricks {n_occ} exceed max_bricks="
+                        f"{self.pipeline.max_bricks}: geometry dropped "
+                        f"(frame {frame_no})"
+                    )
+                if self.viewer is not None and \
+                        frame_no % self.publish_every == 0:
+                    self.viewer.publish(np.asarray(rgba))
+            except BaseException as e:  # surfaced on the next submit/drain
+                self.error = e
+            finally:
+                self._q.task_done()
+
+    def drain(self) -> None:
+        """Block until every pending frame is verified; re-raise errors."""
+        self._q.join()
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+
+    def close(self) -> None:
+        for _ in self._threads:
+            self._q.put(None)
 
 
 class KinectClientApp:
@@ -243,6 +335,13 @@ class KinectClientApp:
             )
 
         self._frames_done = 0
+        self._t_warm = None   # wall time when frame 1 (compile) finished
+        # per-stage sampling cadence: step_timed blocks per stage (device
+        # syncs), so it runs every Nth frame and the steady-state loop uses
+        # the async step (kinect_client's GL timers are non-blocking;
+        # blocking reads on this ~35 ms-RTT backend would serialize)
+        self.timed_every = int(os.environ.get("RGBD_TIMED_EVERY", "30"))
+        self.monitor = FrameMonitor(self.pipeline, viewer=self.viewer)
         db = TimerDatabase.instance()
         for t in ("draw", "1preprocess", "2integrate", "3recon", "holefill"):
             db.add_timer(t)
@@ -338,7 +437,11 @@ class KinectClientApp:
         mv = self.navigator.modelview()
 
         db = TimerDatabase.instance()
-        db.begin("draw")
+        # sampled per-stage timing: step_timed adds device syncs, so it runs
+        # every timed_every-th frame; steady-state frames stay async
+        timed = (self._frames_done % self.timed_every == 0)
+        if timed or cfg.stereo_mode != 0:
+            db.begin("draw")
         out = None
         if cfg.stereo_mode == 1:        # ANAGLYPH (kinect_client.cpp:616-633)
             from .utils.stereo import anaglyph_composite
@@ -376,26 +479,42 @@ class KinectClientApp:
             )
         else:                           # MONO (:609-615)
             rgba, out, frames = self._render_view(
-                depth, color, mv, self.proj, timed=True)
+                depth, color, mv, self.proj, timed=timed)
             rgba = self._mono_overlays(rgba, out, frames, mv)
-        db.end("draw", sync=rgba)
+        if timed or cfg.stereo_mode != 0:
+            db.end("draw", sync=rgba)
+            if self._t_warm is None:
+                self._t_warm = time.time()   # frame 1 = compile frame
         self._frames_done += 1
 
-        if cfg.watch_errors:
-            # ≙ watch_gl_errors (kinect_client.cpp:1017-1049): every frame
-            # is checked and corruption throws instead of propagating
-            if not np.all(np.isfinite(np.asarray(rgba))):
-                raise RuntimeError(
-                    f"watch_errors: non-finite values in frame {self._frames_done}"
-                )
-            if out is not None:
-                # brick-capacity overflow = silently dropped geometry; the
-                # reference reads exact counts per frame
-                # (recon_integration.cpp:430-445) — so do we
-                self.pipeline.check_capacity(out)
-
-        if self.viewer is not None:
-            self.viewer.publish(np.asarray(rgba))
+        # mono device frames go through the ASYNC watchdog (VERDICT r4 #3):
+        # a scalar (finite flag, brick count) fence per frame — completion
+        # proof + the full watch_errors contract — read by monitor threads
+        # off the render loop; full-frame reads only for the viewer. Stereo
+        # composites and overlay frames are host arrays already (their
+        # np.asarray happened in the composite), so they check inline.
+        if isinstance(rgba, np.ndarray):
+            if cfg.watch_errors:
+                # ≙ watch_gl_errors (kinect_client.cpp:1017-1049)
+                if not np.all(np.isfinite(rgba)):
+                    raise RuntimeError(
+                        f"watch_errors: non-finite values in frame "
+                        f"{self._frames_done}"
+                    )
+                if out is not None:
+                    self.pipeline.check_capacity(out)
+            if self.viewer is not None:
+                self.viewer.publish(rgba)
+        else:
+            jnp = self._jnp
+            fin = (jnp.all(jnp.isfinite(rgba)) if cfg.watch_errors
+                   else jnp.bool_(True))
+            occ = (out.occupied_bricks if out is not None else jnp.int32(0))
+            fence = jnp.stack([fin.astype(jnp.int32), occ])
+            self.monitor.submit(
+                self._frames_done, fence, rgba,
+                out if cfg.watch_errors else None,
+            )
         if self.dump_every and self._frames_done % self.dump_every == 0:
             self._dump_frame(np.asarray(rgba), depth, color, out)
         return rgba
@@ -443,10 +562,31 @@ class KinectClientApp:
                 break
             if self.max_frames is not None and self._frames_done >= self.max_frames:
                 break
+        # wall FPS over VERIFIED completions (the monitor's scalar fences
+        # prove device completion — dispatch rate alone would overcount on
+        # an async remote backend)
+        self.monitor.drain()
+        t_end = time.time()
+        if self._frames_done:
+            self.log(
+                f"app wall fps: {self._frames_done / (t_end - start):.2f} "
+                f"over {self._frames_done} frames incl. compile"
+            )
+        if self._t_warm is not None and self._frames_done > 1 \
+                and t_end > self._t_warm:
+            self.log(
+                f"app steady fps: "
+                f"{(self._frames_done - 1) / (t_end - self._t_warm):.2f} "
+                f"(excl. first/compile frame)"
+            )
         return self.quit()
 
     def quit(self) -> int:
         """CSV export on quit (kinect_client.cpp:831-847)."""
+        try:
+            self.monitor.drain()
+        finally:
+            self.monitor.close()
         if self.viewer is not None:
             self.viewer.close()
         if self.ingest is not None:

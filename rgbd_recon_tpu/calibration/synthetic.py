@@ -401,6 +401,117 @@ class SphereScene(NamedTuple):
         return d.min(axis=-1)
 
 
+class ComplexScene(NamedTuple):
+    """Adversarial multi-part scene (VERDICT r4 weak #5): a human-ish
+    multi-blob figure (sphere head + capsule torso/arms/legs) plus a THIN
+    free-standing panel (~2 voxels thick at 256^3) and a concave open box.
+    Exercises what the 2-sphere scene never does: thin sheets against the
+    TSDF truncation band (limit 0.01 m vs 0.02 m panel), concave interiors
+    (carving + occlusion between parts), crowded brick occupancy, and
+    oblique splat/trigrid footprints.
+
+    Parts are SDF primitives; ``sdf``/``color_at``/``normal_at`` drive the
+    generic renderer (_render_depth_general), so depth maps stay exactly
+    consistent with any camera model including distorted ones."""
+
+    cap_a: np.ndarray     # f32[C, 3] capsule segment starts
+    cap_b: np.ndarray     # f32[C, 3] capsule segment ends
+    cap_r: np.ndarray     # f32[C]
+    cap_color: np.ndarray  # f32[C, 3]
+    box_c: np.ndarray     # f32[B, 3] box centers
+    box_h: np.ndarray     # f32[B, 3] half extents
+    box_color: np.ndarray  # f32[B, 3]
+
+    @staticmethod
+    def default(bbox: Bbox | None = None) -> "ComplexScene":
+        bbox = bbox or Bbox.default()
+        c = (bbox.min + bbox.max) * 0.5
+        x, y, z = float(c[0]), float(c[1]), float(c[2])
+
+        def P(dx, dy, dz):
+            return [x + dx, y + dy, z + dz]
+
+        cap_a = np.array([
+            P(0.00, 0.55, 0.00),   # head (degenerate capsule = sphere)
+            P(0.00, 0.40, 0.00),   # torso
+            P(0.00, 0.35, 0.00),   # left arm (raised oblique)
+            P(0.00, 0.35, 0.00),   # right arm
+            P(-0.08, -0.25, 0.00),  # left leg
+            P(0.08, -0.25, 0.00),  # right leg
+        ], np.float32)
+        cap_b = np.array([
+            P(0.00, 0.55, 0.00),
+            P(0.00, -0.20, 0.00),
+            P(-0.42, 0.62, 0.12),
+            P(0.40, 0.10, -0.18),
+            P(-0.13, -0.85, 0.05),
+            P(0.13, -0.85, -0.05),
+        ], np.float32)
+        cap_r = np.array([0.13, 0.17, 0.055, 0.055, 0.07, 0.07], np.float32)
+        cap_color = np.array([
+            [0.85, 0.65, 0.50], [0.30, 0.40, 0.70], [0.30, 0.40, 0.70],
+            [0.30, 0.40, 0.70], [0.35, 0.30, 0.28], [0.35, 0.30, 0.28],
+        ], np.float32)
+        box_c = np.array([
+            P(0.55, -0.10, 0.35),    # thin panel, tilted placement region
+            P(-0.55, -0.45, -0.30),  # open box: floor slab
+            P(-0.55, -0.25, -0.48),  # open box: back wall
+            P(-0.73, -0.25, -0.30),  # open box: side wall
+        ], np.float32)
+        box_h = np.array([
+            [0.010, 0.35, 0.22],     # 2 cm thick sheet
+            [0.18, 0.015, 0.18],
+            [0.18, 0.20, 0.015],
+            [0.015, 0.20, 0.18],
+        ], np.float32)
+        box_color = np.array([
+            [0.80, 0.75, 0.30], [0.45, 0.60, 0.45], [0.45, 0.60, 0.45],
+            [0.45, 0.60, 0.45],
+        ], np.float32)
+        return ComplexScene(cap_a, cap_b, cap_r, cap_color,
+                            box_c, box_h, box_color)
+
+    def _part_d(self, p: np.ndarray) -> np.ndarray:
+        """[..., C+B] distance to every part."""
+        ab = self.cap_b - self.cap_a                       # [C, 3]
+        ap = p[..., None, :] - self.cap_a                  # [..., C, 3]
+        denom = np.maximum(np.sum(ab * ab, axis=-1), 1e-12)
+        t = np.clip(np.sum(ap * ab, axis=-1) / denom, 0.0, 1.0)
+        closest = self.cap_a + t[..., None] * ab
+        dc = np.linalg.norm(p[..., None, :] - closest, axis=-1) - self.cap_r
+        q = np.abs(p[..., None, :] - self.box_c) - self.box_h
+        qp = np.maximum(q, 0.0)
+        db = (np.linalg.norm(qp, axis=-1)
+              + np.minimum(np.max(q, axis=-1), 0.0))
+        return np.concatenate([dc, db], axis=-1)
+
+    def sdf(self, p: np.ndarray) -> np.ndarray:
+        return self._part_d(p).min(axis=-1)
+
+    def color_at(self, p: np.ndarray) -> np.ndarray:
+        colors = np.concatenate([self.cap_color, self.box_color])
+        idx = np.argmin(self._part_d(p), axis=-1)
+        return colors[idx]
+
+    def normal_at(self, p: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+        n = np.stack([
+            self.sdf(p + np.array(o) * eps) - self.sdf(p - np.array(o) * eps)
+            for o in ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+        ], axis=-1)
+        nn = np.linalg.norm(n, axis=-1, keepdims=True)
+        return n / np.where(nn < 1e-12, 1.0, nn)
+
+
+def make_scene(kind: str, bbox: Bbox | None = None):
+    """Scene factory: ``sphere`` (the historical 2-sphere fixture) or
+    ``complex`` (adversarial multi-blob + thin panel + concave box)."""
+    if kind == "sphere":
+        return SphereScene.default(bbox)
+    if kind == "complex":
+        return ComplexScene.default(bbox)
+    raise ValueError(f"unknown scene kind {kind!r} (sphere|complex)")
+
+
 def _render_depth_general(cam, scene: SphereScene) -> np.ndarray:
     """Depth for ANY camera exposing unproject (curved rays included):
     per pixel, the smallest z in [near, far] with sdf(unproject(u,v,z))=0 —
@@ -434,10 +545,12 @@ def _render_depth_general(cam, scene: SphereScene) -> np.ndarray:
     return np.where(hit, z, 0.0).astype(np.float32)
 
 
-def render_depth(cam, scene: SphereScene) -> np.ndarray:
+def render_depth(cam, scene) -> np.ndarray:
     """Analytic Kinect-style depth map f32[H, W] in meters (z-depth of the
-    first sphere hit; 0 where no hit, mimicking invalid Kinect pixels)."""
-    if isinstance(cam, DistortedCamera):
+    first surface hit; 0 where no hit, mimicking invalid Kinect pixels).
+    SphereScene + pinhole uses the closed-form ray-sphere path; any other
+    (scene, camera) combination goes through the generic SDF marcher."""
+    if isinstance(cam, DistortedCamera) or not isinstance(scene, SphereScene):
         return _render_depth_general(cam, scene)
     h, w = cam.height, cam.width
     u = (np.arange(w, dtype=np.float64) + 0.5) / w
@@ -465,8 +578,8 @@ def render_depth(cam, scene: SphereScene) -> np.ndarray:
     return np.where(np.isfinite(best_z), best_z, 0.0).astype(np.float32)
 
 
-def render_color(cam, scene: SphereScene) -> np.ndarray:
-    """Analytic color image f32[H, W, 3] in [0, 1]: sphere base color shaded
+def render_color(cam, scene) -> np.ndarray:
+    """Analytic color image f32[H, W, 3] in [0, 1]: surface base color shaded
     by a fixed directional light; a grey gradient background elsewhere."""
     h, w = cam.height, cam.width
     depth = render_depth(cam, scene)
@@ -474,13 +587,17 @@ def render_color(cam, scene: SphereScene) -> np.ndarray:
     v = (np.arange(h, dtype=np.float64) + 0.5) / h
     uu, vv = np.meshgrid(u, v, indexing="xy")
     world = cam.unproject(uu, vv, np.where(depth > 0, depth, 1.0))
-    dist = np.linalg.norm(world[..., None, :] - scene.centers, axis=-1) - scene.radii
-    idx = np.argmin(dist, axis=-1)
-    base = scene.colors[idx]
-    nearest_center = scene.centers[idx]
-    normal = world - nearest_center
-    nrm = np.linalg.norm(normal, axis=-1, keepdims=True)
-    normal = normal / np.where(nrm < 1e-9, 1.0, nrm)
+    if isinstance(scene, SphereScene):
+        dist = np.linalg.norm(world[..., None, :] - scene.centers, axis=-1) - scene.radii
+        idx = np.argmin(dist, axis=-1)
+        base = scene.colors[idx]
+        nearest_center = scene.centers[idx]
+        normal = world - nearest_center
+        nrm = np.linalg.norm(normal, axis=-1, keepdims=True)
+        normal = normal / np.where(nrm < 1e-9, 1.0, nrm)
+    else:
+        base = scene.color_at(world)
+        normal = scene.normal_at(world)
     light = np.array([0.4, 0.8, 0.45])
     light = light / np.linalg.norm(light)
     shade = np.clip(normal @ light, 0.0, 1.0) * 0.7 + 0.3

@@ -84,6 +84,14 @@ class PipelineConfig(NamedTuple):
     # affine-in-depth within warp_tol
     use_warp: bool = True
     warp_tol: float = 1e-4
+    # piecewise-linear-in-depth warp (ops/warp.PiecewiseWarp): the middle
+    # tier for realistic (lens-distorted / NNI-baked) rigs whose rays are
+    # curved — still gather-free (``warp_knots`` hat-weight FMAs). Used
+    # when the affine fit fails warp_tol but the piecewise residual stays
+    # under pw_warp_tol (xyz meters / uv normalized; 1e-3 ≈ 1 mm world,
+    # 0.5 px color registration at Kinect res)
+    warp_knots: int = 32
+    pw_warp_tol: float = 1e-3
     # VMEM-fused Pallas TSDF integration (ops/tsdf_pallas.py). None = auto:
     # on for TPU backends when bricks are fine enough for its fixed windows
     # (>= 8 bricks per axis)
@@ -293,7 +301,7 @@ class FramePipeline:
         if not self.cfg.use_warp:
             return None
         if self._warp_hw != (h, w):
-            from ..ops.warp import bake_pixel_warp
+            from ..ops.warp import bake_pixel_warp, bake_piecewise_warp
 
             self._log(f"baking pixel warp at {h}x{w} ...")
             warp = bake_pixel_warp(self.rig, h, w)
@@ -301,9 +309,33 @@ class FramePipeline:
                 self._log(
                     f"  cv volumes not affine in depth (residual "
                     f"xyz={warp.max_err_xyz:.2e} uv={warp.max_err_uv:.2e} > "
-                    f"{self.cfg.warp_tol}); using exact gather path"
+                    f"{self.cfg.warp_tol}); trying piecewise warp"
                 )
-                warp = None
+                warp = bake_piecewise_warp(
+                    self.rig, h, w, knots=self.cfg.warp_knots
+                )
+                if max(warp.max_err_xyz, warp.max_err_uv) > self.cfg.pw_warp_tol:
+                    self._log(
+                        f"  piecewise warp ({self.cfg.warp_knots} knots) "
+                        f"residual xyz={warp.max_err_xyz:.2e} "
+                        f"uv={warp.max_err_uv:.2e} > {self.cfg.pw_warp_tol}; "
+                        "using exact gather path"
+                    )
+                    warp = None
+                else:
+                    self._log(
+                        f"  piecewise warp ({self.cfg.warp_knots} knots) "
+                        f"residual xyz={warp.max_err_xyz:.2e} "
+                        f"uv={warp.max_err_uv:.2e}"
+                    )
+                    warp = warp._replace(
+                        xyz_a=jnp.asarray(warp.xyz_a),
+                        xyz_b=jnp.asarray(warp.xyz_b),
+                        uv_a=jnp.asarray(warp.uv_a),
+                        uv_b=jnp.asarray(warp.uv_b),
+                        xyz_r=jnp.asarray(warp.xyz_r),
+                        uv_r=jnp.asarray(warp.uv_r),
+                    )
             else:
                 warp = warp._replace(
                     xyz_a=jnp.asarray(warp.xyz_a), xyz_b=jnp.asarray(warp.xyz_b),

@@ -83,6 +83,90 @@ def test_pixel_warp_gate_detects_nni_warp(distorted_rig):
     assert warp2.max_err_uv <= warp.max_err_uv
 
 
+def test_piecewise_warp_tier(distorted_rig):
+    """The piecewise-linear-in-depth warp (VERDICT r4 #1) must capture the
+    curved-ray rig that defeats the affine fit: residual under the pipeline
+    gate (1e-3) and A/B agreement with the exact gather oracle at random
+    per-pixel depths."""
+    import jax.numpy as jnp
+
+    from rgbd_recon_tpu.ops.warp import bake_pixel_warp, bake_piecewise_warp
+    from rgbd_recon_tpu.ops.sample import sample3d
+
+    rig = distorted_rig["rig"]
+    aff = bake_pixel_warp(rig, 104, 128)
+    pw = bake_piecewise_warp(rig, 104, 128, knots=32)
+    # orders of magnitude better than the affine fit, inside the gate
+    assert pw.max_err_xyz < 1e-3 and pw.max_err_xyz < aff.max_err_xyz / 20
+    assert pw.max_err_uv < 1e-3 and pw.max_err_uv < aff.max_err_uv / 20
+
+    rng = np.random.default_rng(0)
+    d = rng.uniform(0.1, 0.95, (2, 104, 128)).astype(np.float32)
+    h, w = 104, 128
+    uu = (np.arange(w) + 0.5) / w
+    vv = (np.arange(h) + 0.5) / h
+    um, vm = np.meshgrid(uu, vv, indexing="xy")
+    xyz_pw = np.asarray(pw.xyz(jnp.asarray(d)))
+    uv_pw = np.asarray(pw.uv(jnp.asarray(d)))
+    for k in range(2):
+        coords = jnp.asarray(
+            np.stack([um, vm, d[k]], -1, dtype=np.float32)[None]
+        )
+        got = np.abs(
+            xyz_pw[k] - np.asarray(sample3d(jnp.asarray(rig.cv_xyz[k]), coords)[0])
+        ).max()
+        assert got < 2e-4, got
+        got_uv = np.abs(
+            uv_pw[k] - np.asarray(sample3d(jnp.asarray(rig.cv_uv[k]), coords)[0])
+        ).max()
+        assert got_uv < 2e-4, got_uv
+
+    # shifted eval (the pre_normal taps): xyz_shifted(1, 0) must equal
+    # evaluating a manually row-shifted warp at the same depths
+    def shift_rows(p, axis):
+        a = np.asarray(p)
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(1, None)
+        last = [slice(None)] * a.ndim
+        last[axis] = slice(-1, None)
+        return np.concatenate([a[tuple(idx)], a[tuple(last)]], axis=axis)
+
+    pw2 = pw._replace(
+        xyz_a=jnp.asarray(shift_rows(pw.xyz_a, 1)),
+        xyz_b=jnp.asarray(shift_rows(pw.xyz_b, 1)),
+        xyz_r=jnp.asarray(shift_rows(pw.xyz_r, 2)),
+    )
+    sh = np.asarray(pw.xyz_shifted(1, 0, jnp.asarray(d)))
+    ref = np.asarray(pw2.xyz(jnp.asarray(d)))
+    np.testing.assert_allclose(sh, ref, atol=1e-6)
+
+
+def test_pipeline_takes_piecewise_path(distorted_rig):
+    """On the distorted rig the pipeline must select the piecewise warp
+    (not the 987 ms/frame gather fallback, docs/PERF.md r5) — asserted via
+    the bake logs AND the warp object type, so a silent future fallback
+    shows up here rather than as an fps regression (VERDICT r4 weak #7)."""
+    from rgbd_recon_tpu.runtime.pipeline import FramePipeline, PipelineConfig
+    from rgbd_recon_tpu.ops.warp import PiecewiseWarp
+
+    rig = distorted_rig["rig"]
+    bbox = distorted_rig["bbox"]
+    logs = []
+    pipe = FramePipeline(
+        rig,
+        PipelineConfig(
+            render_width=128, render_height=96,
+            tsdf_res=(48, 48, 48),
+            voxel_size=float(np.max(bbox.size / 48)),
+            brick_size=0.2, num_lods=5,
+        ),
+        log=logs.append,
+    )
+    warp = pipe._get_warp(104, 128)
+    assert isinstance(warp, PiecewiseWarp), logs
+    assert any("piecewise warp" in s and "gather" not in s for s in logs), logs
+
+
 def test_affine_bake_residual_reported(distorted_rig):
     """The per-brick quadratic bake must report an honest residual on the
     distorted rig (max_err finite and larger than the pinhole case)."""
