@@ -322,17 +322,9 @@ class KinectClientApp:
             self.feedback = FeedbackReceiver(feedback_socket)
             self.feedback.start()
 
+        self._frustum_corners = None
         if cfg.draw_frustums:
-            # the 8 cv_xyz corner samples per sensor (CalibVolumes.cpp:98-113)
-            # — indexed pulls, never the whole volume (remote D2H is slow)
-            v = self.rig.cv_xyz
-            ez, ey, ex = (int(s) - 1 for s in v.shape[1:4])
-            picks = [(0, 0, 0), (0, ey, 0), (0, ey, ex), (0, 0, ex),
-                     (ez, 0, 0), (ez, ey, 0), (ez, ey, ex), (ez, 0, ex)]
-            self._frustum_corners = np.stack(
-                [np.stack([np.asarray(v[k, z, y, x]) for (z, y, x) in picks])
-                 for k in range(v.shape[0])]
-            )
+            self._get_frustum_corners()
 
         self._frames_done = 0
         self._t_warm = None   # wall time when frame 1 (compile) finished
@@ -347,6 +339,115 @@ class KinectClientApp:
             db.add_timer(t)
 
     # ------------------------------------------------------------------
+    # runtime control channel (VERDICT r4 #2): the headless equivalent of
+    # the reference's keybindings + ImGui panel (kinect_client.cpp:732-807,
+    # :318-480) — commands arrive over the viewer's POST /control (or
+    # apply_control directly) and mutate the same state the keys did:
+    # retune() for voxel/brick/tsdf/min-voxel changes (bounded recompiles,
+    # stream uninterrupted), pipeline flag rebuilds for filter/fill/brick
+    # toggles, plain state for mode/overlay/zoom.
+
+    # control key -> PipelineConfig field for toggles that require a stage
+    # rebuild (the warp/affine bakes survive via keep_warp_bake)
+    _PIPE_FLAGS = {
+        "colorfill": "fill_holes", "bricking": "use_bricks",
+        "skip_space": "skip_space", "bilateral": "filter_textures",
+        "processed": "use_processed_depth", "refine": "refine_boundary",
+        "shade_mode": "shade_mode",
+    }
+
+    @staticmethod
+    def _as_bool(v) -> bool:
+        if isinstance(v, str):
+            return v.strip().lower() in ("1", "true", "yes", "on")
+        return bool(v)
+
+    def apply_control(self, cmd: dict) -> None:
+        """Apply one control command ({key: value, ...})."""
+        cfg = self.cfg
+        retune = {}
+        pipe_updates = {}
+        for k, v in cmd.items():
+            if k in ("voxel_size", "brick_size", "tsdf_limit"):
+                v = float(v)
+                if v > 0 and v != getattr(cfg, k):
+                    retune[k] = v
+                    setattr(cfg, k, v)
+            elif k == "min_voxels_per_brick":
+                if int(v) != self.pipeline.cfg.min_voxels_per_brick:
+                    retune[k] = int(v)
+            elif k in self._PIPE_FLAGS:
+                field = self._PIPE_FLAGS[k]
+                val = int(v) if k == "shade_mode" else self._as_bool(v)
+                if k == "colorfill":
+                    # side-by-side runs without depth-aware fill
+                    # (kinect_client.cpp:641-644)
+                    cfg.colorfill = bool(val)
+                    val = bool(val) and cfg.stereo_mode != 2
+                elif hasattr(cfg, k):
+                    setattr(cfg, k, val if k == "shade_mode" else bool(val))
+                if val != getattr(self.pipeline.cfg, field):
+                    pipe_updates[field] = val
+            elif k == "recon_mode":
+                m = int(v)
+                if m in (0, 1, 2, 3) and m != cfg.recon_mode:
+                    self.log(f"control: recon_mode -> {MODE_NAMES[m]}")
+                    cfg.recon_mode = m
+            elif k == "zoom":
+                cfg.zoom = float(v)
+                self.navigator.set_zoom(float(v))
+            elif k in ("animate", "draw_grid", "draw_frustums",
+                       "draw_bricks", "play", "watch_errors"):
+                setattr(cfg, k, self._as_bool(v))
+            else:
+                self.log(f"control: unknown key {k!r} ignored")
+        if retune:
+            self.log(f"control: retune {retune}")
+            self.pipeline.retune(**retune)
+        if pipe_updates:
+            self.log(f"control: pipeline flags {pipe_updates}")
+            self.pipeline.cfg = self.pipeline.cfg._replace(**pipe_updates)
+            self.pipeline._configure(self.pipeline.cfg, keep_warp_bake=True)
+
+    def _control_state(self) -> dict:
+        cfg = self.cfg
+        p = self.pipeline.cfg
+        return {
+            "recon_mode": cfg.recon_mode, "shade_mode": p.shade_mode,
+            "voxel_size": p.voxel_size, "brick_size": p.brick_size,
+            "tsdf_limit": p.tsdf_limit,
+            "min_voxels_per_brick": p.min_voxels_per_brick,
+            "zoom": cfg.zoom, "colorfill": cfg.colorfill,
+            "bricking": p.use_bricks, "skip_space": p.skip_space,
+            "bilateral": p.filter_textures, "animate": cfg.animate,
+            "draw_grid": cfg.draw_grid,
+        }
+
+    def _drain_controls(self) -> None:
+        if self.viewer is None:
+            return
+        cmds = self.viewer.poll_controls()
+        for cmd in cmds:
+            try:
+                self.apply_control(cmd)
+            except Exception as e:   # a bad command must not kill the loop
+                self.log(f"control error ({cmd}): {type(e).__name__}: {e}")
+        if cmds or self._frames_done == 0:
+            self.viewer.publish_state(self._control_state())
+
+    def _get_frustum_corners(self) -> np.ndarray:
+        """The 8 cv_xyz corner samples per sensor (CalibVolumes.cpp:98-113)
+        — indexed pulls, never the whole volume (remote D2H is slow)."""
+        if self._frustum_corners is None:
+            v = self.rig.cv_xyz
+            ez, ey, ex = (int(s) - 1 for s in v.shape[1:4])
+            picks = [(0, 0, 0), (0, ey, 0), (0, ey, ex), (0, 0, ex),
+                     (ez, 0, 0), (ez, ey, 0), (ez, ey, ex), (ez, 0, ex)]
+            self._frustum_corners = np.stack(
+                [np.stack([np.asarray(v[k, z, y, x]) for (z, y, x) in picks])
+                 for k in range(v.shape[0])]
+            )
+        return self._frustum_corners
 
     def _acquire(self):
         """Next sensor frame (depth, color) or None. Live frames go through
@@ -403,9 +504,10 @@ class KinectClientApp:
                 color=(1.0, 1.0, 1.0, 1.0), depth=depth_buf,
             )
         if cfg.draw_frustums:   # CalibVolumes::drawFrustums
-            for k in range(self._frustum_corners.shape[0]):
+            corners = self._get_frustum_corners()
+            for k in range(corners.shape[0]):
                 img = overlay.draw_segments(
-                    img, overlay.frustum_segments(self._frustum_corners[k]),
+                    img, overlay.frustum_segments(corners[k]),
                     mv, self.proj, color=(0.0, 1.0, 0.0, 1.0), depth=depth_buf,
                 )
         if cfg.draw_bricks and cfg.recon_mode != 1 and frames is not None:
@@ -427,6 +529,7 @@ class KinectClientApp:
     def frame_step(self):
         """One frame: acquire + reconstruct (≙ frameStep/draw3d,
         kinect_client.cpp:580-670 incl. the three stereo modes)."""
+        self._drain_controls()
         got = self._acquire()
         if got is None:
             return None

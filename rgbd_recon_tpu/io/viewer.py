@@ -6,11 +6,20 @@ environment has no display, so the app serves the live frame stream over
 HTTP instead (SURVEY §2.2 scoped a host-side viewer as the optional GL
 remnant):
 
-  GET /            minimal page with the live <img> stream
+  GET /            minimal page with the live <img> stream + control panel
   GET /stream      multipart/x-mixed-replace PNG stream (MJPEG-style;
                    one part per *new* frame — clients block on a
                    condition variable, no polling)
   GET /frame.png   latest frame, single shot
+  POST /control    runtime control channel (VERDICT r4 #2) — the headless
+                   equivalent of the reference's keybindings + ImGui panel
+                   (kinect_client.cpp:732-807, :318-480). Body: JSON object
+                   or urlencoded pairs, e.g. {"voxel_size": 0.008,
+                   "recon_mode": 2}. Commands queue here; the render loop
+                   drains them between frames (poll_controls) and applies
+                   them through FramePipeline.retune()/config toggles —
+                   bounded recompiles, stream uninterrupted.
+  GET /state       JSON of the app-published control state
 
 Zero dependencies: http.server + the repo's own PNG encoder
 (utils/png.encode_png). Publishing is cheap for the render loop — it
@@ -22,8 +31,10 @@ http://localhost:8089/ (or curl /frame.png).
 """
 from __future__ import annotations
 
+import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl
 
 import numpy as np
 
@@ -33,10 +44,48 @@ _PAGE = b"""<!doctype html>
 <html><head><title>rgbd-recon-tpu live</title>
 <style>body{margin:0;background:#111;display:flex;flex-direction:column;
 align-items:center;color:#ccc;font:13px monospace}
-img{max-width:100vw;max-height:92vh;image-rendering:pixelated}</style>
+img{max-width:100vw;max-height:80vh;image-rendering:pixelated}
+#ctl{display:flex;flex-wrap:wrap;gap:6px;max-width:90vw;padding:6px}
+#ctl label{display:flex;gap:4px;align-items:center}
+input,select,button{background:#222;color:#ccc;border:1px solid #555;
+font:12px monospace;width:5em}select{width:auto}</style>
 </head><body>
 <p>rgbd-recon-tpu &mdash; live reconstruction stream</p>
 <img src="/stream" onerror="setTimeout(()=>{this.src='/stream?'+Date.now()},1000)">
+<div id="ctl">
+<label>mode<select id="recon_mode"><option value=0>points</option>
+<option value=1 selected>integration</option><option value=2>trigrid</option>
+<option value=3>mvt</option></select></label>
+<label>shade<select id="shade_mode"><option value=0 selected>textured</option>
+<option value=1>shaded</option><option value=2>normals</option></select></label>
+<label>voxel<input id="voxel_size" value="0.01"></label>
+<label>brick<input id="brick_size" value="0.1"></label>
+<label>tsdf<input id="tsdf_limit" value="0.01"></label>
+<label>minvox<input id="min_voxels_per_brick" value="10"></label>
+<label>zoom<input id="zoom" value="2.5"></label>
+<label>colorfill<input type="checkbox" id="colorfill" checked></label>
+<label>bricks<input type="checkbox" id="bricking" checked></label>
+<label>skip<input type="checkbox" id="skip_space" checked></label>
+<label>bilateral<input type="checkbox" id="bilateral" checked></label>
+<label>animate<input type="checkbox" id="animate"></label>
+<label>grid<input type="checkbox" id="draw_grid"></label>
+<button style="width:auto" onclick="apply()">apply</button>
+</div>
+<script>
+function apply(){
+  const ids=["recon_mode","shade_mode","voxel_size","brick_size","tsdf_limit",
+             "min_voxels_per_brick","zoom"];
+  const chk=["colorfill","bricking","skip_space","bilateral","animate",
+             "draw_grid"];
+  const body={};
+  for(const i of ids){body[i]=parseFloat(document.getElementById(i).value);}
+  for(const i of chk){body[i]=document.getElementById(i).checked;}
+  fetch("/control",{method:"POST",body:JSON.stringify(body)});
+}
+fetch("/state").then(r=>r.json()).then(s=>{
+  for(const k in s){const e=document.getElementById(k);if(!e)continue;
+    if(e.type==="checkbox")e.checked=!!s[k];else e.value=s[k];}}).catch(()=>{});
+</script>
 </body></html>"""
 
 _BOUNDARY = b"rgbdframe"
@@ -49,11 +98,38 @@ class LiveViewer:
         self._lock = threading.Condition()
         self._frame: np.ndarray | None = None
         self._seq = 0
+        self._controls: list[dict] = []
+        self._state: dict = {}
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
+
+            def do_POST(self):
+                path = self.path.split("?")[0]
+                if path != "/control":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    raw = self.rfile.read(n).decode("utf-8", "replace")
+                    try:
+                        cmd = json.loads(raw)
+                        if not isinstance(cmd, dict):
+                            raise ValueError("not an object")
+                    except ValueError:
+                        cmd = dict(parse_qsl(raw))
+                    viewer.push_control(cmd)
+                    body = b'{"ok": true}'
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
 
             def do_GET(self):
                 path = self.path.split("?")[0]
@@ -75,6 +151,13 @@ class LiveViewer:
                         self.send_header("Content-Length", str(len(png)))
                         self.end_headers()
                         self.wfile.write(png)
+                    elif path == "/state":
+                        body = json.dumps(viewer._state).encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
                     elif path == "/stream":
                         self.send_response(200)
                         self.send_header(
@@ -122,6 +205,24 @@ class LiveViewer:
     def close(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+
+    # --- control channel --------------------------------------------------
+    def push_control(self, cmd: dict) -> None:
+        """Queue a control command (HTTP handler side; also usable directly
+        by tests/embedders)."""
+        with self._lock:
+            self._controls.append(dict(cmd))
+
+    def poll_controls(self) -> list[dict]:
+        """Drain queued control commands (render-loop side)."""
+        with self._lock:
+            out, self._controls = self._controls, []
+            return out
+
+    def publish_state(self, state: dict) -> None:
+        """App-side: publish the current control state for GET /state."""
+        with self._lock:
+            self._state = dict(state)
 
     # --- connection-thread side -------------------------------------------
     def _wait_frame(self, seen: int, timeout: float = 30.0):

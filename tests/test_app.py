@@ -112,6 +112,59 @@ def test_app_mode_dispatch(scene_dir, monkeypatch):
     assert glob.glob(str(d / "frames0" / "frame_*.png"))
 
 
+def test_app_control_channel(scene_dir, monkeypatch):
+    """Runtime control surface (VERDICT r4 #2): POST /control changes voxel
+    size and recon mode MID-RUN — the retune is bounded (warp bake survives)
+    and the frame stream continues uninterrupted; GET /state reflects it."""
+    import json
+    import urllib.request
+
+    d = scene_dir["dir"]
+    monkeypatch.chdir(d)
+    cfg = AppConfig()
+    load_config(cfg, scene_dir["conf"])
+    cfg.time_limit = 0
+    app = KinectClientApp(
+        "scene.ks", cfg, recordings_dir="recordings",
+        out_dir=str(d / "frames_ctl"), serve_port=0,
+        log=lambda *a: None,
+    )
+    try:
+        port = app.viewer.port
+        assert app.frame_step() is not None
+        res0 = app.pipeline.tsdf_cfg.res
+
+        body = json.dumps(
+            {"voxel_size": 0.04, "recon_mode": 0, "shade_mode": 1,
+             "draw_grid": True}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/control", data=body, method="POST"
+        )
+        assert json.load(urllib.request.urlopen(req, timeout=10))["ok"]
+
+        # next frame drains the queue: retune + mode switch, loop continues
+        assert app.frame_step() is not None
+        assert app.cfg.recon_mode == 0
+        assert app.cfg.draw_grid
+        assert app.pipeline.cfg.voxel_size == pytest.approx(0.04)
+        assert app.pipeline.cfg.shade_mode == 1
+        assert app.pipeline.tsdf_cfg.res != res0   # volume re-derived
+        assert app.frame_step() is not None        # still streaming
+
+        state = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/state", timeout=10
+        ))
+        assert state["recon_mode"] == 0
+        assert state["voxel_size"] == pytest.approx(0.04)
+
+        # back to integration mode with the new voxel size: renders fine
+        app.apply_control({"recon_mode": 1})
+        assert app.frame_step() is not None
+    finally:
+        app.quit()
+
+
 def test_app_live_zmq(scene_dir, monkeypatch):
     """Live mode end to end: a localhost PUB feeds the app through ZMQIngest
     + DeviceFeed; frames render and dump."""
