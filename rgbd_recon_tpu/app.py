@@ -589,6 +589,14 @@ class KinectClientApp:
             if self._t_warm is None:
                 self._t_warm = time.time()   # frame 1 = compile frame
         self._frames_done += 1
+        if cfg.animate and cfg.recon_mode == 1 and self._frames_done == 1:
+            # an animating camera will cross sweep axes: compile the other
+            # (axis, flip) variants in the background now so the orbit
+            # never stalls mid-stream (VERDICT r4 weak #3)
+            self.pipeline.warm_variants_async(
+                self._jnp.asarray(depth), self._jnp.asarray(color),
+                mv, self.proj,
+            )
 
         # mono device frames go through the ASYNC watchdog (VERDICT r4 #3):
         # a scalar (finite flag, brick count) fence per frame — completion

@@ -13,16 +13,17 @@ single-chip (VERDICT r3 #5). This module partitions it with ``shard_map``:
   list of ITS slab from its mask16 shard and integrates those bricks into
   its local dense slab (the same single-chip kernels, unchanged — Pallas
   persistent kernel on TPU, MXU-window XLA form on CPU). Zero collectives.
-* the SWEEP renderer decomposes along the sweep axis: when the camera's
-  dominant axis is z (the slab axis), each device sweeps only its slab as
-  a logical k-window (ops/raymarch_fast.SweepWindow) — a 2-slice halo
-  ``ppermute``d from the neighbour makes the windowed carry bit-identical
-  to the sequential scan — and the per-window hit planes compose
-  front-to-back with ``merge_sweep`` after an ``all_gather`` (the planes
-  are [Ti, Si] ray states, ~a few MB — ICI-cheap, vs all-gathering the
-  64 MB+ volume). For x/y-dominant cameras the volume is all-gathered and
-  swept replicated (those axes cut across every slab; the gather is the
-  honest cost and the camera rarely sits there in practice).
+* the SWEEP renderer decomposes along the CAMERA's dominant axis: each
+  device sweeps one slab of that axis as a logical k-window
+  (ops/raymarch_fast.SweepWindow) — a 2-slice halo ``ppermute``d from the
+  neighbour makes the windowed carry bit-identical to the sequential scan
+  — and the per-window hit planes compose front-to-back with
+  ``merge_sweep`` after an ``all_gather`` (the planes are [Ti, Si] ray
+  states, ~a few MB — ICI-cheap, vs all-gathering the 64 MB+ volume).
+  When the camera axis is not z (the integration slab axis) the volume is
+  first RESHARDED onto it with a tiled ``all_to_all`` — wire cost
+  (n-1)/n of one volume, n× less than the all-gather this branch once
+  used (VERDICT r4 weak #4).
 * preprocessing is sensor-parallel when K divides the mesh (as in
   sharded_step); screen-space shading + colorfill are row-sharded.
 
@@ -118,43 +119,73 @@ def fast_sharded_step(pipe, mesh: Mesh):
         assert isinstance(tables, IntegrationTables)
         return IntegrationTables(pos_blocked=P(None, "shard", None, None))
 
-    def sweep_local(vol_l, cvol_l, mask16_l, cam_mats, axis, flip):
-        """Inside shard_map: windowed sweep of the local slab (axis 2) and
-        front-to-back composition across the mesh. Returns the merged hit
-        planes (replicated)."""
+    def sweep_local(vol_l, cvol_l, occ_g, cam_mats, axis, flip):
+        """Inside shard_map: windowed sweep of the local slab along ANY
+        sweep axis, composed front-to-back across the mesh.
+
+        The volume arrives z-slab-sharded (the integration layout). For an
+        x/y-dominant camera it is RESHARDED onto that axis with a tiled
+        ``all_to_all`` — each datum moves to exactly one destination, so
+        the wire cost is (n-1)/n of the volume instead of the (n-1)×-volume
+        all-gather this branch used to pay (VERDICT r4 weak #4) — and the
+        windowed sweep + 2-slice ppermute halo + plane composition then run
+        exactly like the z path. A (sensor-count × few-MB) hit-plane
+        all_gather is the only other collective. ``occ_g``: REPLICATED
+        per-slice occupancy flags along the sweep axis (sliced to the local
+        slab here).
+
+        Plane layouts: for every axis the [R, C] frame of a fixed-s plane
+        in the local volume matches rmf._permutation's (row, col) order by
+        construction — axis 2: [y, x]; axis 0: [z, y]; axis 1: [z, x]."""
         modelview, proj = cam_mats
         cam = rm.RenderCamera(modelview, proj, cfg.render_width, cfg.render_height)
         sweep_cfg = rmf.SweepConfig(res=pipe._sweep_res())
         if not dense_emit:   # block-major kernels emit channel-last
             cvol_l = jnp.moveaxis(cvol_l, -1, 0)
+        ns = pipe.tsdf_cfg.res[axis]
+        ns_l = ns // n
+        arr_ax = 2 - axis               # volume array axis of the sweep coord
         dev = jax.lax.axis_index("shard")
+        if axis != 2:
+            # resharding transpose: z-slabs -> axis-slabs
+            vol_l = jax.lax.all_to_all(
+                vol_l, "shard", split_axis=arr_ax, concat_axis=0, tiled=True
+            )
+            cvol_l = jax.lax.all_to_all(
+                cvol_l, "shard", split_axis=arr_ax + 1, concat_axis=1,
+                tiled=True,
+            )
+        occ_l = (jax.lax.dynamic_slice(occ_g, (dev * ns_l,), (ns_l,))
+                 if occ_g is not None else None)
         logical = (n - 1 - dev) if flip else dev
-        k0 = logical * vz_l
+        k0 = logical * ns_l
+
+        def vplane(i):   # [R, C] density plane in the permuted frame
+            return jax.lax.index_in_dim(vol_l, i, arr_ax, keepdims=False)
+
+        def cplane(i):   # [4, R, C] color plane
+            return jax.lax.index_in_dim(cvol_l, i, arr_ax + 1, keepdims=False)
 
         # 2-slice halo from the logically-previous slab (phys neighbour)
         if flip:
             perm = [(i, i - 1) for i in range(1, n)]
-            d1, d2 = vol_l[0], vol_l[1]
-            c1 = cvol_l[:, 0].astype(jnp.float32)
+            d1, d2 = vplane(0), vplane(1)
+            c1 = cplane(0).astype(jnp.float32)
             valid = dev < n - 1
         else:
             perm = [(i, i + 1) for i in range(n - 1)]
-            d1, d2 = vol_l[-1], vol_l[-2]
-            c1 = cvol_l[:, -1].astype(jnp.float32)
+            d1, d2 = vplane(ns_l - 1), vplane(ns_l - 2)
+            c1 = cplane(ns_l - 1).astype(jnp.float32)
             valid = dev > 0
         halo_d1 = jax.lax.ppermute(d1, "shard", perm)
         halo_d2 = jax.lax.ppermute(d2, "shard", perm)
         halo_c1 = jax.lax.ppermute(c1, "shard", perm)
         window = rmf.SweepWindow(
-            k0=k0, ns_total=vz, halo_d2=halo_d2, halo_d1=halo_d1,
+            k0=k0, ns_total=ns, halo_d2=halo_d2, halo_d1=halo_d1,
             halo_c1=halo_c1, halo_valid=valid,
         )
-        occ_l = (
-            rmf.slab_occupancy(mask16_l, 2, vz_l)
-            if cfg.skip_space else None
-        )
         res = rmf.sweep(
-            vol_l, cvol_l, cam, pipe.bbox, limit, 2, flip, sweep_cfg,
+            vol_l, cvol_l, cam, pipe.bbox, limit, axis, flip, sweep_cfg,
             slab_occupied=occ_l, channel_major=True, window=window,
         )
 
@@ -212,53 +243,41 @@ def fast_sharded_step(pipe, mesh: Mesh):
         )
         vol, cvol = integ(frames, tables, mask16, win_off)
 
-        # --- render ------------------------------------------------------
+        # --- render: windowed sweep + composition on every axis ----------
+        # (x/y-dominant cameras reshard the volume onto the camera axis
+        # inside sweep_local via all_to_all — no full-volume gather)
         cam_mats = (modelview, proj)
-        if axis == 2:
-            swp = shard_map(
-                lambda v, c, m: sweep_local(v, c, m, cam_mats, axis, flip),
-                mesh=mesh,
-                in_specs=(
-                    P("shard"),
-                    P(None, "shard") if dense_emit else P("shard"),
-                    P("shard"),
-                ),
-                out_specs=P(),
-                check_vma=False,
-            )
-            planes = swp(vol, cvol, mask16)
-            merged = rmf.SweepResult(
-                hit=planes[0], hit_s=planes[1], hit_color=planes[2],
-                hit_grad=planes[3], base_extent=_extent(cam_mats, axis, flip),
-                eye_p=_eye_p(cam_mats, axis, flip), num_samples=planes[4],
-            )
-            cam = rm.RenderCamera(
-                modelview, proj, cfg.render_width, cfg.render_height
-            )
-            out = rmf.shade_sweep(
-                merged, cam, pipe.bbox, axis, flip, vz,
-                rm.RenderParams(shade_mode=cfg.shade_mode),
-                rmf.SweepConfig(res=pipe._sweep_res()),
-            )
-        else:
-            # x/y-dominant camera: the slab axis crosses every device —
-            # all-gather the volume (explicit, honest cost) and sweep it
-            # replicated
-            vol_full = constrain(vol, P())
-            cvol_full = constrain(cvol, P())
-            cam = rm.RenderCamera(
-                modelview, proj, cfg.render_width, cfg.render_height
-            )
-            occ = (
-                rmf.slab_occupancy(mask16, axis, pipe.tsdf_cfg.res[axis])
-                if cfg.skip_space else None
-            )
-            out = rmf.render_fast(
-                vol_full, cvol_full, cam, pipe.bbox, limit, axis, flip,
-                rm.RenderParams(shade_mode=cfg.shade_mode),
-                cfg=rmf.SweepConfig(res=pipe._sweep_res()),
-                slab_occupied=occ, channel_major=dense_emit,
-            )
+        ns = pipe.tsdf_cfg.res[axis]
+        occ_g = (rmf.slab_occupancy(mask16, axis, ns)
+                 if cfg.skip_space else None)
+        occ_spec = (P(),) if occ_g is not None else ()
+        occ_args = (occ_g,) if occ_g is not None else ()
+        swp = shard_map(
+            lambda v, c, *o: sweep_local(
+                v, c, o[0] if o else None, cam_mats, axis, flip
+            ),
+            mesh=mesh,
+            in_specs=(
+                P("shard"),
+                P(None, "shard") if dense_emit else P("shard"),
+            ) + occ_spec,
+            out_specs=P(),
+            check_vma=False,
+        )
+        planes = swp(vol, cvol, *occ_args)
+        merged = rmf.SweepResult(
+            hit=planes[0], hit_s=planes[1], hit_color=planes[2],
+            hit_grad=planes[3], base_extent=_extent(cam_mats, axis, flip),
+            eye_p=_eye_p(cam_mats, axis, flip), num_samples=planes[4],
+        )
+        cam = rm.RenderCamera(
+            modelview, proj, cfg.render_width, cfg.render_height
+        )
+        out = rmf.shade_sweep(
+            merged, cam, pipe.bbox, axis, flip, ns,
+            rm.RenderParams(shade_mode=cfg.shade_mode),
+            rmf.SweepConfig(res=pipe._sweep_res()),
+        )
 
         color_out = constrain(out.color, P("shard", None, None))
         if cfg.fill_holes:
@@ -331,6 +350,11 @@ def fast_sharded_step(pipe, mesh: Mesh):
 
         def __call__(self, depth_m, color, modelview, proj):
             axis, flip = pipe._pick_axis(np.asarray(modelview))
+            if pipe.tsdf_cfg.res[axis] % n != 0:   # all_to_all split
+                raise ValueError(
+                    f"sweep axis {axis} res {pipe.tsdf_cfg.res[axis]} not "
+                    f"divisible by mesh size {n}"
+                )
             return jitted(
                 depth_m, color, modelview, proj,
                 *self._data_args(depth_m), axis, flip,

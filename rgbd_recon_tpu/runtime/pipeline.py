@@ -875,6 +875,62 @@ class FramePipeline:
             jax.block_until_ready(self._fill(out.color, out.depth))
             self._log(f"  holefill: {time.time()-t0:.1f}s")
 
+    def warm_variants_async(self, depth_m, color, modelview, proj) -> None:
+        """Background-compile the remaining ``(axis, flip)`` render
+        variants (VERDICT r4 weak #3): a live orbit crossing a volume
+        diagonal otherwise stalls 6-17 s on the first 3recon (or fused)
+        compile of that variant. Runs the active dispatch mode's program
+        for all 6 variants on a daemon thread — XLA's cache then makes the
+        orbit's first real use of each variant a hit. Compiles are
+        host/compile-server work; the handful of extra device renders
+        (~10 ms each) briefly share the chip with the stream. Safe to call
+        once after the first frame; subsequent calls no-op."""
+        import threading
+
+        if getattr(self, "_variants_thread", None) is not None:
+            return
+
+        def work():
+            try:
+                h, w = depth_m.shape[1], depth_m.shape[2]
+                warp = self._get_warp(h, w)
+                win_off = self._get_win_off(h, w)
+                cull_bake = self._get_cull_bake(h, w)
+                cur = self._pick_axis(modelview) if self.use_fast else (2, False)
+                variants = [
+                    (a, f) for a in (2, 0, 1) for f in (False, True)
+                    if (a, f) != cur
+                ]
+                if self.cfg.fused or not self.use_fast:
+                    for axis, flip in variants:
+                        jax.block_until_ready(self._step(
+                            depth_m, color, modelview, proj,
+                            self._rig_for_step(warp), warp, self._warp_data(),
+                            axis, flip, win_off, self._kernel_tables(),
+                            cull_bake,
+                        ))
+                        self._log(f"warmed fused variant (axis={axis} flip={flip})")
+                else:
+                    (frames, mask, vox_mask, mask16, occupied, n_occ,
+                     cls) = self._pre(
+                        depth_m, color, self._rig_for_step(warp), warp,
+                        cull_bake)
+                    vol, cvol = self._integrate(
+                        frames, mask16, self._warp_data(), win_off,
+                        self._kernel_tables(), cls,
+                    )
+                    for axis, flip in variants:
+                        jax.block_until_ready(self._render(
+                            vol, cvol, mask16, (modelview, proj), axis, flip
+                        ))
+                        self._log(f"warmed 3recon variant (axis={axis} flip={flip})")
+            except Exception as e:  # a retune mid-warm may orphan a stage
+                self._log(f"variant warm aborted: {type(e).__name__}: {e}")
+
+        t = threading.Thread(target=work, name="variant-warm", daemon=True)
+        self._variants_thread = t
+        t.start()
+
     def default_camera(self, eye=None) -> tuple[np.ndarray, np.ndarray]:
         """Convenience view/projection aimed at the volume center."""
         from ..utils.math import look_at, perspective

