@@ -336,12 +336,10 @@ def normals(depth_b: jnp.ndarray, rig: RigCalibration,
     if warp is not None:
         # a one-pixel texcoord shift lands exactly on the neighbor pixel's
         # center (edge rows clamp like CLAMP_TO_EDGE), so the neighbor
-        # lookups are array shifts of the baked warp
-        world_c = warp.xyz(dn)
-        world_t = warp.xyz_shifted(1, 0, d_t)
-        world_b = warp.xyz_shifted(-1, 0, d_b)
-        world_l = warp.xyz_shifted(0, -1, d_l)
-        world_r = warp.xyz_shifted(0, 1, d_r)
+        # lookups are array shifts of the baked warp (affine) or one
+        # multi-map kernel pass over the knot table (piecewise)
+        (world_c, world_t, world_b, world_l,
+         world_r) = warp.xyz_neighborhood(dn, d_t, d_b, d_l, d_r)
     else:
         uv_t = uv + jnp.array([0.0, 1.0 / h], jnp.float32)
         uv_b = uv - jnp.array([0.0, 1.0 / h], jnp.float32)

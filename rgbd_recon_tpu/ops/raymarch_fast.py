@@ -248,12 +248,15 @@ def sweep(
         s_k = (jnp.asarray(k).astype(jnp.float32) + 0.5) * ds
         return s_k, (s_k - es) / denom
 
-    # mixed-precision carry: depth-critical state (hit flag/position,
-    # previous density) stays f32; colors/gradients carry bf16 (2^-9 —
-    # inside the bf16 resample rounding already applied). nsamp stays f32:
-    # bf16 increments are exact only up to 256.
+    # mixed-precision carry: depth-critical state (hit position, previous
+    # density) stays f32; colors/gradients carry bf16 (2^-9 — inside the
+    # bf16 resample rounding already applied). nsamp stays f32: bf16
+    # increments are exact only up to 256. The hit FLAG is folded into
+    # hit_s (init -1; crossings write s_hit > 0 — the secant lands in
+    # (s_k - ds, s_k] and crossings need k > 0, so a real hit is always
+    # positive), saving one [Ti, Si] f32 carry plane.
     def slice_update(carry, k):
-        hit, hit_s, hit_c, hit_g, prev_d, prev_c, prev_g, nsamp = carry
+        hit_s, hit_c, hit_g, prev_d, prev_c, prev_g, nsamp = carry
         s_k, sigma = sigma_of(k)
         k_phys = ((ns - 1 - k) if flip else k) - p0
         smp = resample(k_phys, sigma)
@@ -266,7 +269,7 @@ def sweep(
         gs = (d - prev_d) / ds
         g = jnp.stack([gs, gr, gc], axis=0)    # [3, Ti, Si]
 
-        active = hit < 0.5
+        active = hit_s < 0.0
         crossed = active & (d > 0.0) & (k > 0)
         den = d - prev_d
         frac = prev_d / jnp.where(jnp.abs(den) > 1e-20, den, 1e-20)
@@ -279,23 +282,26 @@ def sweep(
         hit_s = jnp.where(crossed, s_hit, hit_s)
         hit_c = jnp.where(crossed[None], c_hit.astype(bf16), hit_c)
         hit_g = jnp.where(crossed[None], g_hit.astype(bf16), hit_g)
-        hit = jnp.where(crossed, 1.0, hit)
         nsamp = nsamp + active.astype(jnp.float32)
-        return (hit, hit_s, hit_c, hit_g, d, c.astype(bf16), g.astype(bf16),
+        return (hit_s, hit_c, hit_g, d, c.astype(bf16), g.astype(bf16),
                 nsamp)
 
     z2 = jnp.zeros((ti, si), jnp.float32)
     z3h = jnp.zeros((3, ti, si), bf16)
     z4h = jnp.zeros((4, ti, si), bf16)
-    init = (z2, z2, z4h, z3h, jnp.full((ti, si), -limit), z4h, z3h, z2)
-    if window is not None:
-        # windowed start: reconstruct the sequential carry at logical k0
-        # from the 2-slice halo (prev_d/prev_c from slice k0-1; prev_g's
-        # sweep component needs slice k0-2) — bit-identical to a full run
-        _, sg1 = sigma_of(k0 - 1)
-        _, sg2 = sigma_of(k0 - 2)
-        smp1 = resample_slices(window.halo_d1, window.halo_c1, sg1)
-        d2 = resample_slices(window.halo_d2, jnp.zeros_like(window.halo_c1), sg2)[0]
+    no_hit = jnp.full((ti, si), -1.0)
+    prev_clear = (jnp.full((ti, si), -limit), z4h, z3h)
+
+    def prev_from_slices(sl_d1, sl_c1, sl_d2, k_log):
+        """Reconstruct the sequential (prev_d, prev_c, prev_g) carry as of
+        logical slice ``k_log`` from the raw density/color slices at
+        k_log-1 and k_log-2 — bit-identical to having scanned through them
+        (same resample math on the same inputs; prev_g's sweep component is
+        the k1/k2 density difference)."""
+        _, sg1 = sigma_of(k_log - 1)
+        _, sg2 = sigma_of(k_log - 2)
+        smp1 = resample_slices(sl_d1, sl_c1, sg1)
+        d2 = resample_slices(sl_d2, jnp.zeros_like(sl_c1), sg2)[0]
         d1, c1 = smp1[0], smp1[1:5]
         gr1 = (jnp.roll(d1, -1, 0) - jnp.roll(d1, 1, 0)) / (
             2.0 * (r_grid[1] - r_grid[0]) * sg1 + 1e-12
@@ -304,23 +310,21 @@ def sweep(
             2.0 * (c_grid[1] - c_grid[0]) * sg1 + 1e-12
         )
         g1 = jnp.stack([(d1 - d2) / ds, gr1, gc1], axis=0)
-        hv = window.halo_valid
-        init = (
-            z2, z2, z4h, z3h,
-            jnp.where(hv, d1, init[4]),
-            jnp.where(hv, c1.astype(bf16), init[5]),
-            jnp.where(hv, g1.astype(bf16), init[6]),
-            z2,
-        )
+        return d1, c1.astype(bf16), g1.astype(bf16)
 
-    def skip_slices(carry, count):
-        """Emulate ``count`` empty slices (d = -limit throughout): no
-        crossings; prev state decays to the clear values; every
-        still-active ray counts the steps."""
-        hit, hit_s, hit_c, hit_g, prev_d, prev_c, prev_g, nsamp = carry
-        nsamp = nsamp + (hit < 0.5).astype(jnp.float32) * count
-        return (hit, hit_s, hit_c, hit_g,
-                jnp.full((ti, si), -limit), z4h, z3h, nsamp)
+    if window is not None:
+        # windowed start: reconstruct the sequential carry at logical k0
+        # from the 2-slice halo — bit-identical to a full run
+        d1, c1, g1 = prev_from_slices(window.halo_d1, window.halo_c1,
+                                      window.halo_d2, k0)
+        hv = window.halo_valid
+        init_prev = (
+            jnp.where(hv, d1, prev_clear[0]),
+            jnp.where(hv, c1, prev_clear[1]),
+            jnp.where(hv, g1, prev_clear[2]),
+        )
+    else:
+        init_prev = prev_clear
 
     SLAB = 16
     # the 16-slice unrolled slab body is a TPU optimization (carry goes to
@@ -328,6 +332,15 @@ def sweep(
     # compile time (the hermetic suite's 64^3 pipelines compile ~10x slower)
     use_slabs = ns_local % SLAB == 0 and jax.default_backend() == "tpu"
     if use_slabs:
+        # SLAB-path carry diet (the measured 512^3 sweep bottleneck is
+        # scan-carry HBM traffic, docs/PERF.md): the scan carries ONLY the
+        # write-once hit state + nsamp (hit_s f32, hit_c/hit_g bf16 — 13
+        # B/ray vs the previous 36); the (prev_d, prev_c, prev_g) running
+        # state is REBUILT at each slab start from the previous slab's
+        # last two slices — bit-identical to carrying it (occupied
+        # previous slab: same resample math on the same slices; skipped or
+        # absent: the clear values skip_slices used to decay to), at the
+        # cost of 2 extra resamples per 16-slice slab.
         nsb = ns // SLAB                 # global brick-layer count
         nsb_local = ns_local // SLAB
         sb0 = k0 // SLAB                 # logical start layer (k0 % 16 == 0
@@ -338,24 +351,71 @@ def sweep(
             # like the volume)
             occ_layer = jnp.any(occ.reshape(nsb_local, SLAB), axis=1)
 
-        def slab_body(carry, sb):
-            def run(carry):
+        def rebuild_prev(sb):
+            """(prev_d, prev_c, prev_g) as of slab sb's first slice."""
+            k_first = sb * SLAB
+
+            def from_volume():
+                k1 = k_first - 1
+                k2 = k_first - 2
+                kp1 = ((ns - 1 - k1) if flip else k1) - p0
+                kp2 = ((ns - 1 - k2) if flip else k2) - p0
+                sl_d1 = jax.lax.dynamic_index_in_dim(vol, kp1, 0, keepdims=False)
+                sl_c1 = jax.lax.dynamic_index_in_dim(col, kp1, 0, keepdims=False)
+                sl_d2 = jax.lax.dynamic_index_in_dim(vol, kp2, 0, keepdims=False)
+                return prev_from_slices(sl_d1, sl_c1, sl_d2, k_first)
+
+            if occ is not None:
+                prev_loc = jnp.clip(
+                    ((nsb - 1 - (sb - 1)) if flip else (sb - 1)) - p0 // SLAB,
+                    0, nsb_local - 1,
+                )
+                prev_ran = occ_layer[prev_loc] & (sb > sb0)
+                branch = jax.lax.cond(
+                    prev_ran, from_volume, lambda: prev_clear
+                )
+            else:
+                branch = jax.lax.cond(
+                    sb > sb0, from_volume, lambda: prev_clear
+                )
+            # the window's halo init wins on the first slab
+            return jax.lax.cond(sb == sb0, lambda: init_prev, lambda: branch)
+
+        def slab_body(small, sb):
+            def run(small):
+                hit_s, hit_c, hit_g, nsamp = small
+                prev_d, prev_c, prev_g = rebuild_prev(sb)
+                full = (hit_s, hit_c, hit_g, prev_d, prev_c, prev_g, nsamp)
                 for i in range(SLAB):
-                    carry = slice_update(carry, sb * SLAB + i)
-                return carry
+                    full = slice_update(full, sb * SLAB + i)
+                return (full[0], full[1], full[2], full[6])
+
+            def skip(small):
+                hit_s, hit_c, hit_g, nsamp = small
+                nsamp = nsamp + (hit_s < 0.0).astype(jnp.float32) * SLAB
+                return (hit_s, hit_c, hit_g, nsamp)
 
             if occ is not None:
                 sb_loc = ((nsb - 1 - sb) if flip else sb) - p0 // SLAB
-                carry = jax.lax.cond(
-                    occ_layer[sb_loc], run,
-                    lambda c: skip_slices(c, SLAB), carry,
-                )
+                small = jax.lax.cond(occ_layer[sb_loc], run, skip, small)
             else:
-                carry = run(carry)
-            return carry, None
+                small = run(small)
+            return small, None
 
-        final, _ = jax.lax.scan(slab_body, init, sb0 + jnp.arange(nsb_local))
+        init_small = (no_hit, z4h, z3h, z2)
+        final, _ = jax.lax.scan(
+            slab_body, init_small, sb0 + jnp.arange(nsb_local)
+        )
+        hit_s, hit_c_p, hit_g_p, nsamp = final
     else:
+        def skip_slices(carry, count):
+            """Emulate ``count`` empty slices (d = -limit throughout): no
+            crossings; prev state decays to the clear values; every
+            still-active ray counts the steps."""
+            hit_s, hit_c, hit_g, prev_d, prev_c, prev_g, nsamp = carry
+            nsamp = nsamp + (hit_s < 0.0).astype(jnp.float32) * count
+            return (hit_s, hit_c, hit_g) + prev_clear + (nsamp,)
+
         def body(carry, k):
             if occ is None:
                 return slice_update(carry, k), None
@@ -365,12 +425,14 @@ def sweep(
                 lambda c: skip_slices(c, 1), carry,
             ), None
 
+        init = (no_hit, z4h, z3h) + init_prev + (z2,)
         final, _ = jax.lax.scan(body, init, k0 + jnp.arange(ns_local))
+        hit_s, hit_c_p, hit_g_p, nsamp = final[0], final[1], final[2], final[6]
 
-    hit, hit_s = final[0], final[1]
-    hit_c = jnp.moveaxis(final[2].astype(jnp.float32), 0, -1)
-    hit_g = jnp.moveaxis(final[3].astype(jnp.float32), 0, -1)
-    nsamp = final[7]
+    hit = (hit_s >= 0.0).astype(jnp.float32)
+    hit_s = jnp.maximum(hit_s, 0.0)    # miss rays report 0 like before
+    hit_c = jnp.moveaxis(hit_c_p.astype(jnp.float32), 0, -1)
+    hit_g = jnp.moveaxis(hit_g_p.astype(jnp.float32), 0, -1)
     return SweepResult(
         hit, hit_s, hit_c, hit_g,
         (g_lo[0], g_hi[0], g_lo[1], g_hi[1]),

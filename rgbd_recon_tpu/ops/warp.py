@@ -80,6 +80,17 @@ class PixelWarp(NamedTuple):
         dc = jnp.clip(d, self.d_min, self.d_max)[..., None]
         return a + dc * b
 
+    def xyz_neighborhood(self, dn, d_t, d_b, d_l, d_r):
+        """The pre_normal.fs 5-tap stencil (center, +y, -y, -x, +x) — the
+        affine warp evaluates each tap as one cheap FMA."""
+        return (
+            self.xyz(dn),
+            self.xyz_shifted(1, 0, d_t),
+            self.xyz_shifted(-1, 0, d_b),
+            self.xyz_shifted(0, -1, d_l),
+            self.xyz_shifted(0, 1, d_r),
+        )
+
 
 def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Edge-clamped shift of [K, H, W, C] by (dy, dx) pixels: out[y, x] =
@@ -170,8 +181,8 @@ class PiecewiseWarp(NamedTuple):
     xyz_b: jnp.ndarray   # [K, H, W, 3] f32
     uv_a: jnp.ndarray    # [K, H, W, 2] f32
     uv_b: jnp.ndarray    # [K, H, W, 2] f32
-    xyz_r: jnp.ndarray   # [K, S, H, W, 3] bf16 residual knot planes
-    uv_r: jnp.ndarray    # [K, S, H, W, 2] bf16
+    xyz_r: jnp.ndarray   # [K, 3, S, H, W] bf16 residual knot planes
+    uv_r: jnp.ndarray    # [K, 2, S, H, W] bf16
     d_min: float
     d_max: float
     max_err_xyz: float
@@ -179,33 +190,105 @@ class PiecewiseWarp(NamedTuple):
 
     @property
     def knots(self) -> int:
-        return self.xyz_r.shape[1]
+        return self.xyz_r.shape[2]
 
-    def _hat_eval(self, a, b, r, d):
-        dc = jnp.clip(d, self.d_min, self.d_max)
-        s = self.knots
+    def _eval_multi(self, D, a, b, r):
+        """Evaluate M stacked depth maps against one table in a single
+        R pass. D [M, K, H, W] -> [M, K, H, W, C]. On TPU with aligned
+        shapes this is the VMEM-resident kernel (ops/piecewise_pallas);
+        otherwise the XLA hat loop (bit-same math, channel-first acc)."""
+        m, k, h, w = D.shape
+        if (jax.default_backend() == "tpu" and h % 8 == 0 and w % 128 == 0):
+            from .piecewise_pallas import piecewise_eval_pallas
+
+            return piecewise_eval_pallas(D, a, b, r, self.d_min, self.d_max)
+        s = r.shape[2]
+        dc = jnp.clip(D, self.d_min, self.d_max)
         c = (dc - self.d_min) / (self.d_max - self.d_min) * (s - 1)
-        out = a + dc[..., None] * b
-        # Σ_s hat(c - s)·R[s]: `s` elementwise FMAs, one fused pass over R
+        # channel-first accumulate ([M, K, C, H, W]), one fused pass over R
+        acc = (jnp.moveaxis(a, -1, 1)[None]
+               + dc[:, :, None] * jnp.moveaxis(b, -1, 1)[None])
         for i in range(s):
-            w = jnp.clip(1.0 - jnp.abs(c - i), 0.0, 1.0)
-            out = out + w[..., None] * r[:, i].astype(jnp.float32)
+            wgt = jnp.maximum(1.0 - jnp.abs(c - i), 0.0)
+            acc = acc + wgt[:, :, None] * r[None, :, :, i].astype(jnp.float32)
+        return jnp.moveaxis(acc, 2, -1)
+
+    def _eval_line(self, a_l, b_l, r_l, d_l):
+        """Tiny line evaluation (border fixes): a_l/b_l [K, N, C],
+        r_l [K, C, S, N], d_l [K, N] -> [K, N, C]."""
+        s = r_l.shape[2]
+        dc = jnp.clip(d_l, self.d_min, self.d_max)
+        c = (dc - self.d_min) / (self.d_max - self.d_min) * (s - 1)
+        out = a_l + dc[..., None] * b_l
+        for i in range(s):
+            wgt = jnp.maximum(1.0 - jnp.abs(c - i), 0.0)
+            out = out + wgt[..., None] * jnp.moveaxis(
+                r_l[:, :, i], 1, -1
+            ).astype(jnp.float32)
         return out
 
     def xyz(self, d: jnp.ndarray) -> jnp.ndarray:
-        return self._hat_eval(self.xyz_a, self.xyz_b, self.xyz_r, d)
+        return self._eval_multi(d[None], self.xyz_a, self.xyz_b,
+                                self.xyz_r)[0]
 
     def uv(self, d: jnp.ndarray) -> jnp.ndarray:
-        return self._hat_eval(self.uv_a, self.uv_b, self.uv_r, d)
+        return self._eval_multi(d[None], self.uv_a, self.uv_b, self.uv_r)[0]
+
+    # -- shifted evaluation ------------------------------------------------
+    # xyz_shifted(dy, dx, d)[y, x] = P[clamp(y+dy), clamp(x+dx)](d[y, x]).
+    # Shifting the (A, B, R) planes would copy the ~250 MB knot table per
+    # direction; instead the depth map is COUNTER-shifted, evaluated
+    # pixelwise on the unshifted planes, and the result shifted — exact
+    # everywhere except the one clamp-collapsed border line (the plane row
+    # needed at two different depths), which a direct line eval fixes.
+
+    def _counter_shift(self, dy, dx, d):
+        return _shift2d(d[..., None], -dy, -dx)[..., 0]
+
+    def _shift_fix(self, q, dy, dx, d):
+        out = _shift2d(q, dy, dx)
+        k, h, w, _ = q.shape
+        if dy != 0:
+            row = h - 1 if dy > 0 else 0
+            fix = self._eval_line(
+                self.xyz_a[:, row], self.xyz_b[:, row],
+                self.xyz_r[:, :, :, row], d[:, row],
+            )
+            out = out.at[:, row].set(fix)
+        if dx != 0:
+            col = w - 1 if dx > 0 else 0
+            fix = self._eval_line(
+                self.xyz_a[:, :, col], self.xyz_b[:, :, col],
+                self.xyz_r[:, :, :, :, col], d[:, :, col],
+            )
+            out = out.at[:, :, col].set(fix)
+        return out
 
     def xyz_shifted(self, dy: int, dx: int, d: jnp.ndarray) -> jnp.ndarray:
-        a = _shift2d(self.xyz_a, dy, dx)
-        b = _shift2d(self.xyz_b, dy, dx)
-        k, s, h, w, c = self.xyz_r.shape
-        r = _shift2d(
-            self.xyz_r.reshape(k * s, h, w, c), dy, dx
-        ).reshape(k, s, h, w, c)
-        return self._hat_eval(a, b, r, d)
+        q = self._eval_multi(self._counter_shift(dy, dx, d)[None],
+                             self.xyz_a, self.xyz_b, self.xyz_r)[0]
+        return self._shift_fix(q, dy, dx, d)
+
+    def xyz_neighborhood(self, dn, d_t, d_b, d_l, d_r):
+        """The pre_normal.fs 5-tap stencil in ONE pass over the knot table:
+        (center, +y, -y, -x, +x) world positions. Semantically identical to
+        (xyz(dn), xyz_shifted(1,0,d_t), xyz_shifted(-1,0,d_b),
+        xyz_shifted(0,-1,d_l), xyz_shifted(0,1,d_r))."""
+        D = jnp.stack([
+            dn,
+            self._counter_shift(1, 0, d_t),
+            self._counter_shift(-1, 0, d_b),
+            self._counter_shift(0, -1, d_l),
+            self._counter_shift(0, 1, d_r),
+        ])
+        q = self._eval_multi(D, self.xyz_a, self.xyz_b, self.xyz_r)
+        return (
+            q[0],
+            self._shift_fix(q[1], 1, 0, d_t),
+            self._shift_fix(q[2], -1, 0, d_b),
+            self._shift_fix(q[3], 0, -1, d_l),
+            self._shift_fix(q[4], 0, 1, d_r),
+        )
 
 
 def bake_piecewise_warp(rig, height: int, width: int,
@@ -269,11 +352,14 @@ def bake_piecewise_warp(rig, height: int, width: int,
 
     import ml_dtypes
 
+    def to_cf(r):   # [K, S, H, W, C] -> kernel layout [K, C, S, H, W]
+        return np.ascontiguousarray(np.transpose(r, (0, 4, 1, 2, 3)))
+
     return PiecewiseWarp(
         xyz_a=resize(xyz_a), xyz_b=resize(xyz_b),
         uv_a=resize(uv_a), uv_b=resize(uv_b),
-        xyz_r=resize(xyz_r, ml_dtypes.bfloat16),
-        uv_r=resize(uv_r, ml_dtypes.bfloat16),
+        xyz_r=to_cf(resize(xyz_r, ml_dtypes.bfloat16)),
+        uv_r=to_cf(resize(uv_r, ml_dtypes.bfloat16)),
         d_min=d_min, d_max=d_max,
         max_err_xyz=err_xyz, max_err_uv=err_uv,
     )

@@ -89,8 +89,10 @@ class PipelineConfig(NamedTuple):
     # curved — still gather-free (``warp_knots`` hat-weight FMAs). Used
     # when the affine fit fails warp_tol but the piecewise residual stays
     # under pw_warp_tol (xyz meters / uv normalized; 1e-3 ≈ 1 mm world,
-    # 0.5 px color registration at Kinect res)
-    warp_knots: int = 32
+    # 0.5 px color registration at Kinect res). 48 knots measured on the
+    # Kinect-magnitude bench rig: xyz 8.0e-5, uv 5.5e-4 (32 knots left uv
+    # at 1.04e-3 — just over the gate)
+    warp_knots: int = 48
     pw_warp_tol: float = 1e-3
     # VMEM-fused Pallas TSDF integration (ops/tsdf_pallas.py). None = auto:
     # on for TPU backends when bricks are fine enough for its fixed windows

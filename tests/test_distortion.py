@@ -134,11 +134,42 @@ def test_piecewise_warp_tier(distorted_rig):
     pw2 = pw._replace(
         xyz_a=jnp.asarray(shift_rows(pw.xyz_a, 1)),
         xyz_b=jnp.asarray(shift_rows(pw.xyz_b, 1)),
-        xyz_r=jnp.asarray(shift_rows(pw.xyz_r, 2)),
+        xyz_r=jnp.asarray(shift_rows(pw.xyz_r, 3)),   # [K, C, S, H, W]
     )
     sh = np.asarray(pw.xyz_shifted(1, 0, jnp.asarray(d)))
     ref = np.asarray(pw2.xyz(jnp.asarray(d)))
     np.testing.assert_allclose(sh, ref, atol=1e-6)
+
+    # the batched neighborhood pass must equal the per-direction calls
+    dd = jnp.asarray(d)
+    nb = pw.xyz_neighborhood(dd, dd * 0.9, dd * 1.1, dd * 0.95, dd * 1.05)
+    singles = (pw.xyz(dd), pw.xyz_shifted(1, 0, dd * 0.9),
+               pw.xyz_shifted(-1, 0, dd * 1.1),
+               pw.xyz_shifted(0, -1, dd * 0.95),
+               pw.xyz_shifted(0, 1, dd * 1.05))
+    for got, want in zip(nb, singles):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+
+def test_piecewise_pallas_kernel_parity(distorted_rig):
+    """The VMEM-resident multi-map eval kernel (interpret mode) must match
+    the XLA hat loop on the same tables."""
+    import jax.numpy as jnp
+
+    from rgbd_recon_tpu.ops.warp import bake_piecewise_warp
+    from rgbd_recon_tpu.ops.piecewise_pallas import piecewise_eval_pallas
+
+    pw = bake_piecewise_warp(distorted_rig["rig"], 104, 128, knots=16)
+    rng = np.random.default_rng(3)
+    D = jnp.asarray(rng.uniform(0.0, 1.0, (5, 2, 104, 128)).astype(np.float32))
+    got = piecewise_eval_pallas(
+        D, jnp.asarray(pw.xyz_a), jnp.asarray(pw.xyz_b),
+        jnp.asarray(pw.xyz_r), pw.d_min, pw.d_max, interpret=True,
+    )
+    want = pw._eval_multi(D, jnp.asarray(pw.xyz_a), jnp.asarray(pw.xyz_b),
+                          jnp.asarray(pw.xyz_r))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
 
 
 def test_pipeline_takes_piecewise_path(distorted_rig):
