@@ -303,6 +303,27 @@ class KinectClientApp:
                     raise FileNotFoundError(p)
             self.reader = StreamReader(paths, self.fmt, looping=True)
             self.log(f"replaying {len(paths)} streams, {len(self.reader)} frames")
+            # device-side wire decode (ops/wire.py): upload the raw stream
+            # bytes and decode DXT1/compressed-depth on chip — the
+            # reference's GL-native S3TC + in-shader depth decode
+            # equivalent. ~10x fewer H2D bytes for compressed streams;
+            # the measured tunnel link (~20-34 MB/s) makes this the
+            # difference between ~3 fps and the device frame rate.
+            import jax
+
+            want_wire = os.environ.get("RGBD_WIRE_DECODE", "auto")
+            compressed = self.fmt.compressed_rgb or self.fmt.compressed_depth
+            if want_wire == "1" or (
+                want_wire == "auto" and compressed
+                and jax.default_backend() != "cpu"
+            ):
+                from .ops.wire import make_wire_decoder
+
+                self._wire_decode = make_wire_decoder(self.fmt)
+                self.log("wire decode: on-device "
+                         f"({self.fmt.frame_size/1e6:.2f} MB/frame on the wire)")
+            else:
+                self._wire_decode = None
         else:
             from .io.ingest import ZMQIngest, DeviceFeed
 
@@ -454,6 +475,13 @@ class KinectClientApp:
         the DeviceFeed so H2D of frame N+1 overlaps frame N's compute
         (≙ the reference's double-PBO handoff)."""
         if self.reader is not None:
+            if self._wire_decode is not None:
+                raw = self.reader.read_raw()
+                if raw is None:
+                    return None
+                cp, dp = raw
+                return self._wire_decode(self._jnp.asarray(cp),
+                                         self._jnp.asarray(dp))
             got = self.reader.read()
             if got is None:
                 return None
@@ -721,8 +749,26 @@ class KinectClientApp:
         return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (shared with bench.py's): repeat
+    app runs skip the 30-60 s stage compiles."""
+    import jax
+
+    cache = os.environ.get(
+        "RGBD_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    _enable_compile_cache()
     p = CMDParser("kinect_client_tpu <scene.ks> [run.conf]")
     p.add_opt("s", 2, "screensize", "set screen size in meter")
     p.add_opt("d", 2, "displaysize", "set display size in pixel")

@@ -115,6 +115,25 @@ class StreamReader:
         self._frame += 1
         return np.stack(depths), np.stack(colors)
 
+    def read_raw(self):
+        """Next frame as WIRE payloads: (color u8[K, color_size],
+        depth u8[K, depth_size]) with no host decode — for device-side
+        decoding (ops/wire.py), which uploads ~10x fewer bytes for
+        compressed streams. Returns None at EOF when not looping."""
+        if self._frame >= self.num_frames:
+            if not self.looping:
+                return None
+            self.rewind()
+        fmt = self.fmt
+        colors, depths = [], []
+        for f in self._files:
+            buf = f.read(fmt.frame_size)
+            raw = np.frombuffer(buf, np.uint8)
+            colors.append(raw[: fmt.color_size])
+            depths.append(raw[fmt.color_size:])
+        self._frame += 1
+        return np.stack(colors), np.stack(depths)
+
     def rewind(self) -> None:
         for f in self._files:
             f.seek(0)

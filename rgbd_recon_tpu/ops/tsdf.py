@@ -34,9 +34,18 @@ class TsdfConfig(NamedTuple):
     limit: float = 0.01        # tsdf truncation (normalized-depth units)
 
     @staticmethod
-    def from_voxel_size(bbox: Bbox, voxel_size: float, limit: float = 0.01) -> "TsdfConfig":
-        # recon_integration.cpp:342-345: res = ceil(bbox_size / voxel_size)
-        res = tuple(int(np.ceil(float(s) / voxel_size)) for s in bbox.size)
+    def from_voxel_size(bbox: Bbox, voxel_size: float, limit: float = 0.01,
+                        align: int = 1) -> "TsdfConfig":
+        # recon_integration.cpp:342-345: res = ceil(bbox_size / voxel_size).
+        # ``align``: round each axis res UP to this multiple (the TPU fast
+        # path tiles the volume in 16^3 bricks with 128-voxel x rows, so
+        # the pipeline derives with align=16 — voxels come out slightly
+        # finer than requested along the padded axes, never coarser; a
+        # TPU-first deviation from the reference's exact ceil)
+        res = tuple(
+            -(-int(np.ceil(float(s) / voxel_size)) // align) * align
+            for s in bbox.size
+        )
         return TsdfConfig(res, limit)
 
 

@@ -170,8 +170,12 @@ class FramePipeline:
         if cfg.tsdf_res is not None:
             self.tsdf_cfg = tsdf_ops.TsdfConfig(cfg.tsdf_res, cfg.tsdf_limit)
         else:
+            # 16-aligned derivation keeps voxel-size-driven configs (.conf
+            # files, retune()) on the brick-sparse fast path — the volume
+            # is padded up to whole 16^3 bricks, never truncated
             self.tsdf_cfg = tsdf_ops.TsdfConfig.from_voxel_size(
-                self.bbox, cfg.voxel_size, cfg.tsdf_limit
+                self.bbox, cfg.voxel_size, cfg.tsdf_limit,
+                align=16 if (cfg.fast_path and cfg.use_bricks) else 1,
             )
         self.brick_grid = brick_ops.make_brick_grid(
             self.bbox, cfg.brick_size, cfg.voxel_size
@@ -511,8 +515,10 @@ class FramePipeline:
         gather/fold/pad (~1 ms at 512³, docs/PERF.md lever #2). None until
         the first _get_win_off reveals the sensor size (the kernel then
         falls back to per-frame gathering for that first dispatch)."""
+        if not self.use_fast:
+            return None
         if self._use_affine:
-            if not (self.use_fast and self._dense_emit):
+            if not self._dense_emit:
                 return None
             if getattr(self, "_wy_sensor_h", None) is None:
                 return None

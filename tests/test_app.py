@@ -8,7 +8,7 @@ import pytest
 
 from rgbd_recon_tpu.app import AppConfig, KinectClientApp, load_config, main
 from rgbd_recon_tpu.calibration import synthetic
-from rgbd_recon_tpu.io.stream import StreamWriter, FrameFormat
+from rgbd_recon_tpu.io.stream import StreamReader, StreamWriter, FrameFormat
 from rgbd_recon_tpu.utils.math import Bbox
 from rgbd_recon_tpu.utils.png import write_png, read_png
 
@@ -110,6 +110,81 @@ def test_app_mode_dispatch(scene_dir, monkeypatch):
     rc = app.run()
     assert rc == 0
     assert glob.glob(str(d / "frames0" / "frame_*.png"))
+
+
+def test_app_compressed_fixture_golden(tmp_path, monkeypatch):
+    """VERDICT r4 #5: the app must consume the reference's exact on-disk
+    world — a COMPRESSED bundle (.ks + .yml/.ext/.bbx + binary cv volumes
+    + DXT1 color / u8-depth .stream) — and render the same frame as a
+    pipeline built from the in-memory rig fed the decoded frames."""
+    import jax
+
+    from rgbd_recon_tpu.runtime.pipeline import FramePipeline, PipelineConfig
+    from rgbd_recon_tpu.utils.navigator import CameraNavigator
+    from rgbd_recon_tpu.utils.math import perspective
+
+    d = tmp_path
+    bbox = Bbox.default()
+    ks = synthetic.write_reference_scene(
+        str(d), num_sensors=2, bbox=bbox, width=128, height=104,
+        compressed_rgb=1, compressed_depth=True,
+    )
+    cams = synthetic.make_cameras(2, bbox, width=128, height=104)
+    scene = synthetic.SphereScene.default(bbox)
+    depth, color = synthetic.render_frames(cams, scene)
+    fmt = FrameFormat(width=128, height=104, width_c=128, height_c=104,
+                      compressed_rgb=1, compressed_depth=True)
+    rec = d / "recordings"
+    rec.mkdir()
+    paths = [str(rec / f"sensor{i}.stream") for i in range(2)]
+    w = StreamWriter(paths, fmt)
+    w.write(depth, color)
+    w.close()
+    conf = d / "run.conf"
+    conf.write_text(
+        "recon_mode: 1\nscreenWidth: 96\nscreenHeight: 64\nplay: true\n"
+        "voxel_size: 0.05\nbrick_size: 0.2\ntsdf_limit: 0.02\n"
+        "zoom: 2.5\ntime_limit: 600\n"
+    )
+    monkeypatch.chdir(d)
+    cfg = AppConfig()
+    load_config(cfg, str(conf))
+    cfg.time_limit = 0
+    app = KinectClientApp(
+        "scene.ks", cfg, recordings_dir="recordings",
+        out_dir=str(d / "frames_gold"), log=lambda *a: None,
+    )
+    try:
+        # the app's format metadata must round-trip the compression flags
+        assert app.fmt.compressed_rgb == 1 and app.fmt.compressed_depth
+        rgba_app = np.asarray(app.frame_step())
+    finally:
+        app.quit()
+
+    # in-memory reference: same pipeline config, rig built WITHOUT the
+    # files, frames decoded from the same stream bytes
+    from rgbd_recon_tpu.calibration.synthetic import synthetic_rig
+
+    rig_mem, _ = synthetic_rig(num_sensors=2, bbox=bbox,
+                               fwd_res=(32, 48, 32), inv_res=(32, 32, 32),
+                               width=128, height=104)
+    reader = StreamReader(paths, fmt, looping=True)
+    dd, cc = reader.read()
+    reader.close()
+    pipe = FramePipeline(
+        rig_mem,
+        PipelineConfig(
+            render_width=96, render_height=64,
+            voxel_size=cfg.voxel_size, brick_size=cfg.brick_size,
+            tsdf_limit=cfg.tsdf_limit,
+        ),
+    )
+    nav = CameraNavigator(zoom=cfg.zoom)
+    nav.resize(96, 64)
+    proj = perspective(50.0, 96 / 64, 0.1, 200.0)
+    out = pipe.step(dd, cc, nav.modelview(), proj)
+    rgba_mem = np.asarray(out.color)
+    np.testing.assert_allclose(rgba_app, rgba_mem, atol=1e-5)
 
 
 def test_app_control_channel(scene_dir, monkeypatch):

@@ -228,3 +228,53 @@ def test_native_dxt_matches_numpy():
     assert np.array_equal(
         native.decode_dxt5(p5, 128, 64), dxt_mod.decode_dxt5(p5, 128, 64)
     )
+
+
+def test_device_wire_decode_matches_numpy():
+    """Device-side wire decode (ops/wire.py) must be bit-identical to the
+    host oracle: DXT1/DXT5 integer math exact, compressed-depth mapping
+    exact, f32 bitcast exact."""
+    import jax.numpy as jnp
+
+    from rgbd_recon_tpu.io import dxt as dxt_mod
+    from rgbd_recon_tpu.io.stream import FrameFormat
+    from rgbd_recon_tpu.ops import wire
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (2, 64, 128, 3), np.uint8)
+    pay = np.stack([dxt_mod.encode_dxt1(img[k]) for k in range(2)])
+    got = np.asarray(wire.decode_dxt1_device(jnp.asarray(pay), 128, 64))
+    want = np.stack([dxt_mod.decode_dxt1(pay[k], 128, 64) for k in range(2)])
+    np.testing.assert_array_equal(
+        np.rint(got * 255.0).astype(np.uint8), want
+    )
+
+    pay5 = np.stack([dxt_mod.encode_dxt5(img[k]) for k in range(2)])
+    got5 = np.asarray(wire.decode_dxt5_device(jnp.asarray(pay5), 128, 64))
+    want5 = np.stack([dxt_mod.decode_dxt5(pay5[k], 128, 64) for k in range(2)])
+    np.testing.assert_array_equal(
+        np.rint(got5 * 255.0).astype(np.uint8), want5
+    )
+
+    # compressed u8 depth: device formula == FrameFormat.decode_depth
+    fmt = FrameFormat(width=32, height=16, compressed_depth=True)
+    dpay = rng.integers(0, 256, (2, 32 * 16), np.uint8)
+    gotd = np.asarray(wire.decode_depth_u8_device(jnp.asarray(dpay), 32, 16))
+    wantd = np.stack([fmt.decode_depth(dpay[k]) for k in range(2)])
+    np.testing.assert_allclose(gotd, wantd, rtol=0, atol=1e-6)
+
+    # raw f32 depth: bitcast exact
+    d = rng.random((2, 16, 32)).astype(np.float32) * 4.0
+    draw = d.reshape(2, -1).view(np.uint8)
+    gotf = np.asarray(wire.decode_depth_f32_device(jnp.asarray(draw), 32, 16))
+    np.testing.assert_array_equal(gotf, d)
+
+    # the composed decoder (what the app jits)
+    fmt1 = FrameFormat(width=32, height=16, width_c=128, height_c=64,
+                       compressed_rgb=1, compressed_depth=True)
+    dec = wire.make_wire_decoder(fmt1)
+    dd, cc = dec(jnp.asarray(pay), jnp.asarray(dpay))
+    np.testing.assert_allclose(np.asarray(dd), wantd, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.rint(np.asarray(cc) * 255.0).astype(np.uint8), want
+    )
