@@ -57,7 +57,10 @@ def interior_holes(rgba: np.ndarray) -> float:
     return float(holes.sum()) / denom
 
 
-@pytest.mark.parametrize("cls", [ReconTrigrid, ReconMVT], ids=["trigrid", "mvt"])
+@pytest.mark.parametrize("cls", [
+    ReconTrigrid,
+    pytest.param(ReconMVT, marks=pytest.mark.full),
+], ids=["trigrid", "mvt"])
 def test_grid_modes_watertight_oblique(setup, cls):
     model = cls(setup["ctx"])
     rgba = np.asarray(model.draw(setup["frames"], setup["cam"]))

@@ -8,6 +8,7 @@ all-behind voxels (+limit -> clear, the documented deviation class). Every
 block containing band voxels must survive.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rgbd_recon_tpu.calibration import synthetic
@@ -20,6 +21,7 @@ from rgbd_recon_tpu.ops.warp import bake_pixel_warp
 from rgbd_recon_tpu.utils.math import Bbox
 
 
+@pytest.mark.full
 def test_block_cull_safety():
     bbox = Bbox.default()
     rig, cams = synthetic.synthetic_rig(
@@ -71,6 +73,7 @@ def test_block_cull_safety():
         np.testing.assert_allclose(new, -lim, rtol=0, atol=1e-6)
 
 
+@pytest.mark.full
 def test_class_skip_parity():
     """Per-(sensor, block) kernel classes (fuse_chunk_v3 ``cls``): NONE /
     FRONT / INVALID sensor skips must be BIT-exact on the TSDF, the

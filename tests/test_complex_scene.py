@@ -51,6 +51,7 @@ def test_complex_scene_geometry(complex_rig):
     assert 0.02 < d_cav < 0.12
 
 
+@pytest.mark.full
 def test_pipeline_complex_end_to_end(complex_rig):
     """Full pipeline on the complex scene: finite output, plausible
     coverage, TSDF transition band on the true surfaces, and the capacity

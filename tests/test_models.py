@@ -52,6 +52,7 @@ def test_trigrid(setup):
     _check_surface(out, setup, "trigrid")
 
 
+@pytest.mark.full
 def test_mvt(setup):
     model = ReconMVT(setup["ctx"])
     out = model.draw_f(setup["frames"], setup["cam"])
@@ -77,6 +78,7 @@ def test_calibs(setup):
     assert mosaic.max() <= 1.0 and mosaic.min() >= 0.0
 
 
+@pytest.mark.full
 def test_integration_model(setup):
     bbox = setup["bbox"]
     model = ReconIntegration(

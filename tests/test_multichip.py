@@ -36,6 +36,7 @@ def _small_pipe(num_sensors=2, fast=False, tsdf=(32, 32, 32)):
     return pipe, depth, color, mv, proj
 
 
+@pytest.mark.full
 def test_dryrun_multichip_contract():
     import __graft_entry__ as ge
 
@@ -84,6 +85,7 @@ def test_sharded_step_distributes_compute():
     assert shard_shapes == {(4, 32, 32)}, shard_shapes
 
 
+@pytest.mark.full
 def test_sharded_step_matches_single_device():
     """Distributing the dense step must not change the image."""
     mesh = make_mesh(8)

@@ -1,5 +1,6 @@
 """Sweep renderer vs the reference-faithful per-ray marcher."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rgbd_recon_tpu.ops import preprocess as pp
@@ -91,6 +92,7 @@ def test_sweep_space_skip(small_rig):
     )
 
 
+@pytest.mark.full
 def test_sweep_cvol_layouts_identical(small_rig):
     """The three cvol input layouts (channel-last, channel-major, z-major)
     are pure relayouts of one another: render_fast must produce IDENTICAL

@@ -42,6 +42,7 @@ def test_retune_tsdf_limit_keeps_bakes(pipe_inputs):
     assert np.isclose(float(out2.tsdf.min()), -0.04, atol=1e-6)
 
 
+@pytest.mark.full
 def test_retune_voxel_size_rebuilds_volume(pipe_inputs):
     rig, depth, color = pipe_inputs
     pipe = _build(rig)
@@ -62,6 +63,7 @@ def test_retune_voxel_size_rebuilds_volume(pipe_inputs):
     assert out2.color.shape == out1.color.shape
 
 
+@pytest.mark.full
 def test_retune_bounded_recompiles(pipe_inputs):
     """Stepping twice after a retune compiles each stage exactly once
     (and an unchanged-step loop doesn't recompile at all)."""

@@ -86,6 +86,7 @@ def test_side_by_side_composite_viewports():
     assert np.all(out[0:4, 0:4] == 0.0)
 
 
+@pytest.mark.full
 def test_app_anaglyph(scene_dir):
     app = KinectClientApp(
         scene_dir["ks"], _app_cfg(stereo_mode=1),
@@ -169,6 +170,7 @@ def test_overlay_grid_depth_test():
     assert not (out2[..., 0] > 0).any()
 
 
+@pytest.mark.full
 def test_app_draw_grid_and_watchdog(scene_dir):
     app = KinectClientApp(
         scene_dir["ks"], _app_cfg(draw_grid=True, watch_errors=True),

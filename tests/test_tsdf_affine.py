@@ -73,6 +73,7 @@ def test_affine_expand_matches_table(small_setup):
     assert np.percentile(d[:, 1], 99.9) < 2e-2
 
 
+@pytest.mark.full
 def test_persist_kernel_parity(small_setup):
     """Persistent kernel (interpret mode) vs integrate_sparse running on the
     SAME affine warp (expanded + box-gated), isolating kernel correctness
@@ -133,6 +134,7 @@ def test_persist_kernel_empty_scene(small_setup):
     assert np.allclose(np.asarray(cvol), 0.0)
 
 
+@pytest.mark.full
 def test_dense_kernel_parity(small_setup):
     """Dense-emit grouped kernel (interpret mode) vs the block-major
     persistent kernel + XLA assembly: the in-kernel relayout is exact and
@@ -173,6 +175,7 @@ def test_dense_kernel_parity(small_setup):
     assert cd.max() < 1e-2, f"color max dev {cd.max():.3e}"
 
 
+@pytest.mark.full
 def test_dense_kernel_group_tail(small_setup):
     """Odd occupied count with group=2: the tail member clamps to the last
     valid brick — no spurious flush, no geometry change, and the final row
@@ -277,6 +280,7 @@ def test_auto_window_cols_policy():
     assert (wx, xs) == (64, 16)
 
 
+@pytest.mark.full
 def test_auto_window_cols_parity():
     """Half-tile x windows (wx=32, channel-QUADDED layout) integrate
     identically to the fixed (64, 16) pairs layout when footprints fit —
@@ -330,6 +334,7 @@ def test_auto_window_cols_parity():
     assert (dc > 1e-2).mean() < 1e-4
 
 
+@pytest.mark.full
 def test_dense_kernel_cmats_full(small_setup):
     """Session-baked full coefficient table + in-kernel window-offset fold
     (bake_cmats_kernel / cmats_full) vs the per-frame gather+fold path:
@@ -369,6 +374,7 @@ def test_dense_kernel_cmats_full(small_setup):
     np.testing.assert_array_equal(np.asarray(cvol_f), np.asarray(cvol_g))
 
 
+@pytest.mark.full
 def test_dense_kernel_zmajor_bf16(small_setup):
     """zmajor + bf16 emission (the fused pipeline's layout) vs the default
     layout: color is the exact transpose, TSDF is the exact bf16 cast of
