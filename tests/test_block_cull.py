@@ -190,6 +190,19 @@ def test_cull_bake_split_exact():
     np.testing.assert_array_equal(np.asarray(k_a), np.asarray(k_b))
     np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_b))
 
+    # golden snapshot of the actual cull SEMANTICS (the A/B above checks
+    # only plumbing — block_depth_cull IS the bake-then-apply composition,
+    # so it cannot catch coordinated drift in both halves): known-good
+    # keep/class counts on the deterministic fixture. The hulls run at
+    # Precision.HIGHEST (reproducible across programs), so these are
+    # stable integers; a change here means the cull DECISIONS changed.
+    assert int(np.asarray(mask16).sum()) == 29
+    assert int(np.asarray(m_a).sum()) == 28        # one block culled
+    assert int(np.asarray(k_a).sum()) == 81        # keep over ALL bricks
+    cls_np = np.asarray(c_a)
+    hist = [int((cls_np == i).sum()) for i in range(4)]
+    assert hist == [1000, 0, 0, 24], hist          # 24 bake-invalid pairs
+
 
 def test_block_cull_wide_and_invalid_kept():
     """Footprints wider than the pooled mip window and bricks invalid in
