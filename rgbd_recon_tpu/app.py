@@ -303,33 +303,17 @@ class KinectClientApp:
                     raise FileNotFoundError(p)
             self.reader = StreamReader(paths, self.fmt, looping=True)
             self.log(f"replaying {len(paths)} streams, {len(self.reader)} frames")
-            # device-side wire decode (ops/wire.py): upload the raw stream
-            # bytes and decode DXT1/compressed-depth on chip — the
-            # reference's GL-native S3TC + in-shader depth decode
-            # equivalent. ~10x fewer H2D bytes for compressed streams;
-            # the measured tunnel link (~20-34 MB/s) makes this the
-            # difference between ~3 fps and the device frame rate.
-            import jax
-
-            want_wire = os.environ.get("RGBD_WIRE_DECODE", "auto")
-            compressed = self.fmt.compressed_rgb or self.fmt.compressed_depth
-            if want_wire == "1" or (
-                want_wire == "auto" and compressed
-                and jax.default_backend() != "cpu"
-            ):
-                from .ops.wire import make_wire_decoder
-
-                self._wire_decode = make_wire_decoder(self.fmt)
-                self.log("wire decode: on-device "
-                         f"({self.fmt.frame_size/1e6:.2f} MB/frame on the wire)")
-            else:
-                self._wire_decode = None
+            self._wire_decode = self._make_wire_decoder()
         else:
             from .io.ingest import ZMQIngest, DeviceFeed
 
-            # u8 color stays u8 until the device (4x less decode + H2D work)
+            self._wire_decode = self._make_wire_decoder()
+            # u8 color stays u8 until the device (4x less decode + H2D
+            # work); with the wire decoder active the ingest thread keeps
+            # the raw payload bytes and does no host decode at all
             self.ingest = ZMQIngest(
-                server_socket, self.calib_files.num, self.fmt, color_u8=True
+                server_socket, self.calib_files.num, self.fmt, color_u8=True,
+                raw_wire=self._wire_decode is not None,
             )
             self.ingest.start()
             # device staging overlaps H2D with the previous frame's compute
@@ -456,6 +440,29 @@ class KinectClientApp:
         if cmds or self._frames_done == 0:
             self.viewer.publish_state(self._control_state())
 
+    def _make_wire_decoder(self):
+        """Device-side wire decode (ops/wire.py): upload the raw stream
+        bytes and decode DXT1/compressed-depth on chip — the reference's
+        GL-native S3TC + in-shader depth decode equivalent. ~10x fewer
+        H2D bytes for compressed streams; the measured tunnel link
+        (~20-34 MB/s) makes this the difference between ~3 fps and the
+        device frame rate (docs/PERF.md r5). RGBD_WIRE_DECODE: auto
+        (default — on for compressed streams on accelerators), 1 (force),
+        0 (host decode)."""
+        import jax
+
+        want = os.environ.get("RGBD_WIRE_DECODE", "auto")
+        compressed = self.fmt.compressed_rgb or self.fmt.compressed_depth
+        if want == "1" or (
+            want == "auto" and compressed and jax.default_backend() != "cpu"
+        ):
+            from .ops.wire import make_wire_decoder
+
+            self.log("wire decode: on-device "
+                     f"({self.fmt.frame_size/1e6:.2f} MB/frame on the wire)")
+            return make_wire_decoder(self.fmt)
+        return None
+
     def _get_frustum_corners(self) -> np.ndarray:
         """The 8 cv_xyz corner samples per sensor (CalibVolumes.cpp:98-113)
         — indexed pulls, never the whole volume (remote D2H is slow)."""
@@ -489,7 +496,11 @@ class KinectClientApp:
         swap = self.ingest.buffer.swap_if_dirty()
         if swap is not None:
             self.feed.stage(swap[0].copy(), swap[1].copy(), swap[2])
-        return self.feed.advance()
+        got = self.feed.advance()
+        if got is not None and self._wire_decode is not None:
+            d_pay, c_pay = got       # raw payload bytes, staged on device
+            return self._wire_decode(c_pay, d_pay)
+        return got
 
     def _render_view(self, depth, color, mv, proj, recon_mode=None,
                      timed=False):

@@ -26,8 +26,9 @@ except Exception:  # pragma: no cover
 class DoubleBuffer:
     """Front/back swap with a dirty flag (≙ double_buffer.hpp:6-33)."""
 
-    def __init__(self, shape_depth, shape_color, color_dtype=np.float32):
-        self._depth = [np.zeros(shape_depth, np.float32) for _ in range(2)]
+    def __init__(self, shape_depth, shape_color, color_dtype=np.float32,
+                 depth_dtype=np.float32):
+        self._depth = [np.zeros(shape_depth, depth_dtype) for _ in range(2)]
         self._color = [np.zeros(shape_color, color_dtype) for _ in range(2)]
         self._front = 0
         self.dirty = False
@@ -63,17 +64,29 @@ class ZMQIngest:
     (NetKinectArray.cpp:510-523)."""
 
     def __init__(self, endpoint: str, num_sensors: int, fmt: FrameFormat,
-                 color_u8: bool = False):
+                 color_u8: bool = False, raw_wire: bool = False):
+        """``raw_wire``: keep the WIRE payload bytes (no host decode at
+        all) — the app then uploads them as-is and decodes on device
+        (ops/wire.py), cutting both ingest-thread CPU and H2D bytes for
+        compressed streams (~10x)."""
         if zmq is None:
             raise RuntimeError("pyzmq not available")
         self.fmt = fmt
         self.num_sensors = num_sensors
         self.color_u8 = color_u8
-        self.buffer = DoubleBuffer(
-            (num_sensors, fmt.height, fmt.width),
-            (num_sensors, fmt.height_c, fmt.width_c, 3),
-            color_dtype=np.uint8 if color_u8 else np.float32,
-        )
+        self.raw_wire = raw_wire
+        if raw_wire:
+            self.buffer = DoubleBuffer(
+                (num_sensors, fmt.depth_size),
+                (num_sensors, fmt.color_size),
+                color_dtype=np.uint8, depth_dtype=np.uint8,
+            )
+        else:
+            self.buffer = DoubleBuffer(
+                (num_sensors, fmt.height, fmt.width),
+                (num_sensors, fmt.height_c, fmt.width_c, 3),
+                color_dtype=np.uint8 if color_u8 else np.float32,
+            )
         self._endpoint = endpoint
         self._running = False
         self._thread: Optional[threading.Thread] = None
@@ -109,12 +122,18 @@ class ZMQIngest:
                 off = 8
                 for k in range(self.num_sensors):
                     raw = np.frombuffer(msg[off : off + fmt.color_size], np.uint8)
-                    self.buffer.back_color[k] = fmt.decode_color(
-                        raw, as_float=not self.color_u8
-                    )
+                    if self.raw_wire:
+                        self.buffer.back_color[k] = raw
+                    else:
+                        self.buffer.back_color[k] = fmt.decode_color(
+                            raw, as_float=not self.color_u8
+                        )
                     off += fmt.color_size
                     raw = np.frombuffer(msg[off : off + fmt.depth_size], np.uint8)
-                    self.buffer.back_depth[k] = fmt.decode_depth(raw)
+                    if self.raw_wire:
+                        self.buffer.back_depth[k] = raw
+                    else:
+                        self.buffer.back_depth[k] = fmt.decode_depth(raw)
                     off += fmt.depth_size
                 self.buffer.publish(float(ts))
         finally:

@@ -291,3 +291,93 @@ def test_app_live_zmq(scene_dir, monkeypatch):
         stop.set()
         pub.close(0)
         ctx.term()
+
+
+@pytest.mark.full
+def test_app_live_zmq_wire_decode(scene_dir, tmp_path, monkeypatch):
+    """Live mode with COMPRESSED wire + forced device-side decode: the
+    ingest thread stores raw payload bytes (no host decode), the app
+    uploads them and decodes in ops/wire.py, and frames render."""
+    zmq = pytest.importorskip("zmq")
+    import shutil
+    import threading
+    import time
+
+    from rgbd_recon_tpu.io import dxt as dxt_mod
+
+    # private copy: the compress-flag rewrite below must not leak into the
+    # module-scoped fixture
+    d = tmp_path / "scene_wire"
+    shutil.copytree(scene_dir["dir"], d)
+    monkeypatch.chdir(d)
+    monkeypatch.setenv("RGBD_WIRE_DECODE", "1")
+    cfg = AppConfig()
+    load_config(cfg, scene_dir["conf"])
+    cfg.play = False
+    cfg.time_limit = 0
+
+    # compressed variant of the scene metadata: rewrite the yml flags
+    for i in range(2):
+        yml = d / f"sensor{i}.yml"
+        txt = yml.read_text()
+        txt = txt.replace(
+            "compress_rgb: !!opencv-matrix\n   rows: 1\n   cols: 1\n"
+            "   dt: d\n   data: [ 0", 
+            "compress_rgb: !!opencv-matrix\n   rows: 1\n   cols: 1\n"
+            "   dt: d\n   data: [ 1")
+        txt = txt.replace(
+            "compress_depth: !!opencv-matrix\n   rows: 1\n   cols: 1\n"
+            "   dt: d\n   data: [ 0",
+            "compress_depth: !!opencv-matrix\n   rows: 1\n   cols: 1\n"
+            "   dt: d\n   data: [ 1")
+        yml.write_text(txt)
+
+    depth, color = scene_dir["depth"], scene_dir["color"]
+    fmt = FrameFormat(width=128, height=104, width_c=128, height_c=104,
+                      compressed_rgb=1, compressed_depth=True)
+    port = 17423
+    ctx = zmq.Context(1)
+    pub = ctx.socket(zmq.PUB)
+    pub.bind(f"tcp://127.0.0.1:{port}")
+    stop = threading.Event()
+
+    def feed():
+        parts = [np.float64(1.0).tobytes()]
+        near, far = 0.5, 4.5
+        scale = far - near
+        sn = scale / 255.0
+        for k in range(depth.shape[0]):
+            img = np.clip(np.rint(color[k] * 255), 0, 255).astype(np.uint8)
+            parts.append(dxt_mod.encode_dxt1(img).tobytes())
+            dk = depth[k].astype(np.float32)
+            d_c = np.sqrt(np.maximum((dk - near) / scale - 0.15 * sn, 0.0))
+            d_c = np.where(dk <= 0.0, 0.0, d_c)
+            parts.append(np.clip(d_c * 255.0, 0, 255).astype(np.uint8).tobytes())
+        msg = b"".join(parts)
+        assert len(msg) == 8 + 2 * fmt.frame_size
+        while not stop.is_set():
+            pub.send(msg)
+            time.sleep(0.05)
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    try:
+        app = KinectClientApp(
+            "scene.ks", cfg, server_socket=f"127.0.0.1:{port}",
+            out_dir=str(d / "frames_wire"), dump_every=1, max_frames=2,
+            log=lambda *a: None,
+        )
+        assert app.fmt.compressed_rgb == 1 and app.fmt.compressed_depth
+        assert app._wire_decode is not None
+        assert app.ingest.raw_wire
+        rc = app.run()
+        assert rc == 0
+        assert app._frames_done >= 2
+        pngs = glob.glob(str(d / "frames_wire" / "frame_*.png"))
+        assert pngs
+        img = read_png(pngs[0])
+        assert np.isfinite(img).all()
+    finally:
+        stop.set()
+        pub.close(0)
+        ctx.term()
